@@ -1,0 +1,206 @@
+package graft.blocking
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** B1/B5/B6: blocking-key generators. All are pure Column expressions
+  * (codegen'd, no UDFs) emitting `array<string>` of keys; `explodeKeys`
+  * turns them into the central `(block_key, doc_id)` join table
+  * (the Spark analog of the reference's BlockingKey nodes +
+  * HAS_BLOCKING_KEY edges, graph/CypherExecutor.java:359-372).
+  */
+object BlockingKeys {
+
+  /** B1: the reference's default strategy
+    * (similarity/DefaultBlockingKeyStrategy.java:24-57):
+    * pfx: first 3 chars; tok: first 2 alphabetically-sorted tokens joined
+    * by '|' (single token -> that token); bg: first 2 chars; blank -> no keys.
+    * Input is lowercased + trimmed first (the strategy re-cleans even
+    * already-normalized input).
+    */
+  def defaultKeys(name: Column): Column = {
+    val cleaned = trim(lower(name))
+    val toks = split(cleaned, "\\s+")
+    val sorted = array_sort(toks)
+    val pfx = concat(lit("pfx:"), substring(cleaned, 1, 3))
+    val tok = when(size(toks) >= 2,
+        concat(lit("tok:"), element_at(sorted, 1), lit("|"), element_at(sorted, 2)))
+      .otherwise(concat(lit("tok:"), element_at(toks, 1)))
+    val bg = concat(lit("bg:"), substring(cleaned, 1, 2))
+    when(name.isNull || cleaned === "", array().cast("array<string>"))
+      .otherwise(array(pfx, tok, bg))
+  }
+
+  /** Plain-Scala mirror of [[defaultKeys]] for the generator and tests
+    * (exact port of the strategy's semantics; insertion order pfx, tok, bg).
+    */
+  def defaultKeysScala(name: String): Seq[String] = {
+    if (name == null || name.trim.isEmpty) return Seq.empty
+    val cleaned = name.toLowerCase.trim
+    val toks = cleaned.split("\\s+")
+    val pfx = "pfx:" + cleaned.substring(0, math.min(3, cleaned.length))
+    val tok =
+      if (toks.length >= 2) { val s = toks.sorted; s"tok:${s(0)}|${s(1)}" }
+      else s"tok:${toks(0)}"
+    val bg = "bg:" + cleaned.substring(0, math.min(2, cleaned.length))
+    Seq(pfx, tok, bg).distinct
+  }
+
+  /** B5: sorted-neighborhood key — prefix of the token-sorted,
+    * space-stripped name. Not in the reference (mandated by the north
+    * star); a key-based sorted neighborhood scales without a global sort:
+    * docs adjacent in the sorted order share the prefix key with high
+    * probability, and the key joins through the same (block_key, doc_id)
+    * table as B1.
+    */
+  def sortedNeighborhoodKey(name: Column, prefixLen: Int = 4): Column = {
+    val sortKey = array_join(array_sort(split(trim(lower(name)), "\\s+")), "")
+    when(name.isNull || trim(lower(name)) === "", lit(null).cast("string"))
+      .otherwise(concat(lit("sn:"), substring(sortKey, 1, prefixLen)))
+  }
+
+  /** B5 (exact variant): true w-sized sorted-neighborhood adjacency pairs
+    * via a rank window. NOTE: the global orderBy ranks through a single
+    * reducer — fine for tests/small dims; at scale prefer
+    * [[sortedNeighborhoodKey]] (same recall target, shuffle-free keying).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String, windowSize: Int = 3): DataFrame = {
+    val sortKey = array_join(array_sort(split(trim(lower(col(nameCol))), "\\s+")), "")
+    val ranked = df.select(col(idCol), sortKey.as("sn_sort_key"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("sn_sort_key"), col(idCol))))
+    val left = ranked.select(col(idCol).as("doc_id_a"), col("rnk").as("rnk_a"))
+    val right = ranked.select(col(idCol).as("doc_id_b"), col("rnk").as("rnk_b"))
+    left.join(right,
+        col("rnk_b") > col("rnk_a") && col("rnk_b") <= col("rnk_a") + (windowSize - 1))
+      .select(
+        least(col("doc_id_a"), col("doc_id_b")).as("doc_id_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_id_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // B6: MinHash LSH. Rejected by the reference as overkill
+  // (docs/adr/ADR-001-blocking-key-strategy.md:43) but mandated by the
+  // north star. Hand-rolled with fixed coefficients so signatures are
+  // deterministic across runs, languages and the DuckDB oracle.
+  // ---------------------------------------------------------------------
+
+  /** Large prime modulus for all rolling/affine hashes. All arithmetic
+    * stays < 2^63: h < P ~ 2^30, a*h < 2^60.
+    */
+  val P: Long = 1000000007L
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Affine coefficients (a_j, b_j), fixed/deterministic. */
+  val Coef: IndexedSeq[(Long, Long)] =
+    (0 until NumHashes).map { j =>
+      ((1000003L * (2L * j + 1)) % P, (998244353L * j + 12345L) % P)
+    }
+
+  /** Rolling hash of a string column: fold (acc*31 + codepoint) % P over
+    * its characters. Spark's split("", -1) keeps a trailing empty string;
+    * the filter drops it (DuckDB's string_split does not emit one).
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % P)
+
+  /** Character 3-gram shingles (distinct); strings shorter than 3 chars
+    * yield the whole string as a single shingle.
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    when(length(c) >= n,
+        array_distinct(transform(
+          sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n)))))
+      .otherwise(array(c))
+
+  /** Hashes of the distinct 3-gram shingles of a string column. */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    transform(shingles(c, n), sh => rollingHash(sh))
+
+  /** MinHash signature from a PRE-MATERIALIZED shingle-hash array column.
+    * Keep the shingle-hash array in its own projection (withColumn) — the
+    * 16 per-permutation minima each reference that column, so the O(text)
+    * hashing subtree is evaluated once per row, not 16x. Empty input ->
+    * all P (sentinel).
+    */
+  def minhashSignatureFromHashes(hs: Column): Column = {
+    val sigs = Coef.map { case (a, b) =>
+      coalesce(
+        array_min(transform(hs, h => (lit(a) * h + lit(b)) % P)),
+        lit(P))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys from a pre-materialized signature column: one key per
+    * band, "lsh:<band>:<sig..sig>". Docs sharing any band key become join
+    * candidates.
+    */
+  def bandKeysFromSignature(sig: Column): Column = {
+    val keys = (0 until Bands).map { band =>
+      val parts = (0 until RowsPerBand).map(r => element_at(sig, band * RowsPerBand + r + 1))
+      concat(lit(s"lsh:$band:"), concat_ws("_", parts.map(_.cast("string")): _*))
+    }
+    array(keys: _*)
+  }
+
+  /** (doc_id, band_key) LSH key table for a text column — the staged
+    * shingle-hash -> signature -> band-key plan (each stage its own
+    * projection to keep expression trees linear).
+    */
+  def minhashKeyTable(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol).as("doc_id"), text.as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) > 0)
+      .withColumn("__sh", shingleHashes(col("__t")))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__sh")))
+      .select(col("doc_id"), explode(bandKeysFromSignature(col("__sig"))).as("block_key"))
+      .select(col("block_key"), col("doc_id"))
+
+  /** Convenience single-expression forms (small inputs / tests only —
+    * they duplicate the hashing subtree per signature element; use the
+    * staged [[minhashKeyTable]] in pipelines).
+    */
+  def minhashSignature(c: Column): Column = minhashSignatureFromHashes(shingleHashes(c))
+  def minhashBandKeys(c: Column): Column =
+    when(c.isNull || length(c) === 0, array().cast("array<string>"))
+      .otherwise(bandKeysFromSignature(minhashSignature(c)))
+
+  /** SimHash (30-bit, fits the modulus): per-token rolling hashes vote
+    * +1/-1 on each bit; the fingerprint sets bits with positive votes.
+    * Near-duplicates have small hamming distance (use bit_count(xor)).
+    */
+  val SimHashBits = 30
+
+  /** SimHash from a PRE-MATERIALIZED token-hash array column (same
+    * staging rationale as [[minhashSignatureFromHashes]]).
+    */
+  def simhashFromHashes(th: Column): Column = {
+    val bitTerms = (0 until SimHashBits).map { bit =>
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + (shiftright(h, bit).cast("long") % 2L) * 2L - 1L)
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    bitTerms.reduce(_ + _)
+  }
+
+  def tokenHashes(tokensCol: Column): Column = transform(tokensCol, t => rollingHash(t))
+
+  /** Single-expression form (tests only; duplicates token hashing 30x). */
+  def simhash(tokensCol: Column): Column = simhashFromHashes(tokenHashes(tokensCol))
+
+  /** Explode a key-array column into the central (block_key, doc_id)
+    * table. At cluster scale this table is what gets bucketed/partitioned
+    * by block_key (SURVEY.md §4).
+    */
+  def explodeKeys(df: DataFrame, idCol: String, keysCol: Column): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(keysCol).as("block_key"))
+      .select(col("block_key"), col("doc_id"))
+}

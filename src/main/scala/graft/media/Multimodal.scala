@@ -1,0 +1,116 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[MediaCodec.decodeStub]] is a clearly-marked deterministic
+  * fake keyed on the bytes' content hash. Everything Spark-side — schema,
+  * partition-friendly batched iteration, output shapes — is real and
+  * tested, so swapping in a real codec is a one-function change.
+  *
+  * Batched per-partition iteration (`mapPartitions`) is the Scala analog
+  * of a Pandas-UDF `mapInPandas` pipeline: one codec context per
+  * partition, streaming batches, no per-row setup cost.
+  */
+final case class MediaRow(doc_id: String, media_ref: String, kind: String, bytes: Array[Byte])
+final case class MediaMeta(
+    doc_id: String, media_ref: String, kind: String,
+    size_bytes: Long, width: Int, height: Int, duration_ms: Long, content_hash: Long)
+final case class MediaFeatures(doc_id: String, media_ref: String, features: Array[Float])
+final case class FrameSample(doc_id: String, media_ref: String, frame_index: Int, ts_ms: Long)
+
+object MediaCodec {
+
+  /** Deterministic 64-bit content hash (FNV-1a) — stands in for the real
+    * decoder's stream identity.
+    */
+  def contentHash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** STUB decode: a real implementation would parse the container /
+    * codec headers. The fake derives plausible, deterministic metadata
+    * from the content hash so downstream plumbing is fully exercisable.
+    */
+  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
+    val h = math.abs(contentHash(bytes) % 1000L).toInt
+    kind match {
+      case "image" => (320 + h % 8 * 160, 240 + h % 6 * 120, 0L)
+      case "audio" => (0, 0, 1000L + h * 37L)
+      case "video" => (640 + h % 4 * 320, 360 + h % 4 * 180, 5000L + h * 111L)
+      case _ => (0, 0, 0L)
+    }
+  }
+
+  /** STUB feature extraction: a real implementation would run a vision /
+    * audio encoder per batch. The fake emits a deterministic 8-dim vector
+    * seeded by the content hash — same shape, partitioning and encoder
+    * contract as the real thing.
+    */
+  def featuresStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
+    val h = contentHash(bytes)
+    Array.tabulate(dim)(i => (((h >>> (i * 7)) & 0xff).toFloat - 128f) / 128f)
+  }
+}
+
+object Multimodal {
+
+  /** Decode metadata for a media table, batched per partition. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one codec context per partition would be initialized here
+      rows.map { r =>
+        val (w, hgt, dur) = MediaCodec.decodeStub(r.kind, r.bytes)
+        MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur,
+          MediaCodec.contentHash(r.bytes))
+      }
+    }
+  }
+
+  /** Feature extraction, batched per partition. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaFeatures(r.doc_id, r.media_ref, MediaCodec.featuresStub(r.bytes, dim)))
+    }
+  }
+
+  /** Deterministic frame sampling: every `everyMs` milliseconds of the
+    * decoded duration, as a generator (explode), not a driver loop.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], everyMs: Long = 1000L): DataFrame = {
+    meta.toDF()
+      .where(col("kind") === "video" && col("duration_ms") > 0)
+      .withColumn("ts_ms", explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .withColumn("frame_index", (col("ts_ms") / everyMs).cast("int"))
+      .select("doc_id", "media_ref", "frame_index", "ts_ms")
+  }
+
+  /** Synthesize a deterministic media-bytes table from a docs table's
+    * media spans (test/bench input: the container has no real media, so
+    * bytes are a seeded function of the media_ref).
+    */
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") =!= "text")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))
+      .as[(String, String, String)]
+      .map { case (docId, ref, kind) =>
+        val rng = new scala.util.Random(ref.hashCode.toLong)
+        val n = 64 + rng.nextInt(192)
+        val bytes = new Array[Byte](n)
+        rng.nextBytes(bytes)
+        MediaRow(docId, ref, kind, bytes)
+      }
+  }
+}

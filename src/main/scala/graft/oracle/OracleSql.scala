@@ -1,0 +1,162 @@
+package graft.oracle
+
+import graft.blocking.BlockingKeys
+import graft.norm.Normalizer
+import graft.text.TextAnalysis
+
+/** DuckDB-dialect SQL fragment builders for the correctness oracle.
+  *
+  * Every fragment mirrors a Column expression in the library and is
+  * generated from the SAME constants (normalization rule table, minhash
+  * coefficients, stopword profiles), so the Spark implementation and the
+  * oracle cannot drift. Jaro-Winkler is deliberately absent: DuckDB's
+  * builtin implements a different variant than the reference algorithm,
+  * so JW-bearing queries are verified by golden unit tests + rows-only
+  * driver checks instead (see SimilarityWeights.oracleSafe).
+  */
+object OracleSql {
+
+  val P: Long = BlockingKeys.P
+
+  /** Full normalization chain over a column expression. */
+  def norm(c: String): String = Normalizer.normalizeSql(c)
+
+  /** First-k-token name derived from the normalized text. */
+  def nameK(c: String, k: Int): String =
+    s"array_to_string(list_slice(string_split($c, ' '), 1, $k), ' ')"
+
+  /** The reference's default blocking keys (pfx/tok/bg) as a DuckDB list
+    * expression over an already-normalized, non-blank name expression.
+    */
+  def defaultKeysList(n: String): String = {
+    val toks = s"string_split($n, ' ')"
+    val sorted = s"list_sort($toks)"
+    s"""[ 'pfx:' || substr($n, 1, 3),
+       | CASE WHEN len($toks) >= 2 THEN 'tok:' || $sorted[1] || '|' || $sorted[2]
+       |      ELSE 'tok:' || $toks[1] END,
+       | 'bg:' || substr($n, 1, 2) ]""".stripMargin
+  }
+
+  /** Levenshtein similarity with the reference's null/equal/empty edges. */
+  def levSim(a: String, b: String): String =
+    s"""(CASE WHEN $a = $b THEN 1.0
+       | WHEN length($a) = 0 OR length($b) = 0 THEN 0.0
+       | ELSE 1.0 - CAST(levenshtein($a, $b) AS DOUBLE)
+       |            / CAST(greatest(length($a), length($b)) AS DOUBLE) END)""".stripMargin
+
+  /** Token-set Jaccard with the reference's edges (inputs already
+    * lowercase single-spaced).
+    */
+  def tokenJaccard(a: String, b: String): String = {
+    val ta = s"list_distinct(string_split($a, ' '))"
+    val tb = s"list_distinct(string_split($b, ' '))"
+    val inter = s"len(list_intersect($ta, $tb))"
+    s"""(CASE WHEN $a = $b THEN 1.0
+       | WHEN length($a) = 0 OR length($b) = 0 THEN 0.0
+       | ELSE CAST($inter AS DOUBLE)
+       |      / CAST(len($ta) + len($tb) - $inter AS DOUBLE) END)""".stripMargin
+  }
+
+  /** Oracle-safe composite (lev 0.5 / jac 0.5) with the equal-string
+    * short-circuit.
+    */
+  def oracleScore(a: String, b: String): String =
+    s"(CASE WHEN $a = $b THEN 1.0 ELSE 0.5*${levSim(a, b)} + 0.5*${tokenJaccard(a, b)} END)"
+
+  /** D1 decision bands. */
+  def decide(score: String, auto: Double = 0.92, syn: Double = 0.80, rev: Double = 0.60): String =
+    s"""(CASE WHEN $score >= $auto THEN 'AUTO_MERGE'
+       | WHEN $score >= $syn THEN 'SYNONYM_ONLY'
+       | WHEN $score >= $rev THEN 'REVIEW'
+       | ELSE 'NO_MATCH' END)""".stripMargin
+
+  /** Rolling hash (base 31 mod P) of a string expression's characters. */
+  def rollingHash(c: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       | list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       | (acc, x) -> (acc*31 + x) % $P)""".stripMargin
+
+  /** Distinct 3-gram shingles; short strings -> whole string. */
+  def shingles(c: String, n: Int = 3): String =
+    s"""(CASE WHEN length($c) >= $n THEN
+       | list_distinct(list_transform(generate_series(1, length($c) - ${n - 1}),
+       |   i -> substr($c, CAST(i AS INT), $n)))
+       | ELSE [$c] END)""".stripMargin
+
+  /** Shingle Jaccard (character n-grams). */
+  def shingleJaccard(a: String, b: String): String = {
+    val sa = shingles(a)
+    val sb = shingles(b)
+    val inter = s"len(list_intersect($sa, $sb))"
+    s"""(CASE WHEN $a = $b THEN 1.0
+       | WHEN length($a) = 0 OR length($b) = 0 THEN 0.0
+       | ELSE CAST($inter AS DOUBLE)
+       |      / CAST(len($sa) + len($sb) - $inter AS DOUBLE) END)""".stripMargin
+  }
+
+  /** MinHash signature element j over a shingle-hash list expression. */
+  private def minhashJ(hashes: String, j: Int): String = {
+    val (aj, bj) = BlockingKeys.Coef(j)
+    s"coalesce(list_min(list_transform($hashes, h -> ($aj*h + $bj) % $P)), $P)"
+  }
+
+  /** LSH band keys (list of Bands strings) over a text expression —
+    * mirrors BlockingKeys.minhashBandKeys, same coefficients.
+    */
+  def minhashBandKeysList(c: String): String = {
+    val hashes = s"list_transform(${shingles(c)}, sh -> ${rollingHash("sh")})"
+    val bands = (0 until BlockingKeys.Bands).map { band =>
+      val parts = (0 until BlockingKeys.RowsPerBand)
+        .map(r => s"CAST(${minhashJ(hashes, band * BlockingKeys.RowsPerBand + r)} AS VARCHAR)")
+      s"'lsh:$band:' || ${parts.mkString(" || '_' || ")}"
+    }
+    s"[ ${bands.mkString(",\n  ")} ]"
+  }
+
+  /** SimHash (30-bit) over a token-hash list expression. */
+  def simhash(tokensExpr: String): String = {
+    val th = s"list_transform($tokensExpr, t -> ${rollingHash("t")})"
+    val bits = (0 until BlockingKeys.SimHashBits).map { b =>
+      s"(CASE WHEN list_sum(list_transform($th, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }
+    s"(${bits.mkString(" + ")})"
+  }
+
+  /** Lowercase whitespace tokens (empties dropped). */
+  def lowerTokens(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), t -> length(t) > 0)"
+
+  /** Language-ID argmax with profile-order tie-break, mirroring
+    * TextAnalysis.langId.
+    */
+  def langId(c: String): String = {
+    val toks = lowerTokens(c)
+    val scores = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_filter($toks, t -> list_contains([$set], t)))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, s) => s"WHEN $s = $best AND $best > 0 THEN '$lang'" }
+    s"(CASE ${cases.mkString(" ")} ELSE 'und' END)"
+  }
+
+  /** Dot product of two double-list expressions with deterministic
+    * left-fold order (bit-identical to Spark's aggregate(zip_with)).
+    */
+  def dot(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       | list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))),
+       | (x, y) -> x + y)""".stripMargin
+
+  /** Cosine similarity mirroring Ann.cosine. */
+  def cosine(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(${dot(a, a)}) = 0 OR sqrt(${dot(b, b)}) = 0 THEN 0.0
+       | ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)""".stripMargin
+
+  /** D4 effective confidence (decision/ConfidenceDecayEngine.java:78-121). */
+  def effectiveConfidence(base: String, days: String, support: String): String =
+    s"""least(1.0, greatest(0.0,
+       | $base * exp(-0.001 * greatest($days, 0.0))
+       | + (CASE WHEN $support <= 0 THEN 0.0
+       |    ELSE least(ln(1.0 + $support) * 0.05, 0.15) END)))""".stripMargin
+}

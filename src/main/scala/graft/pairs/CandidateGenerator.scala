@@ -1,0 +1,69 @@
+package graft.pairs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** B3: candidate generation — the self-equi-join of the (block_key,
+  * doc_id) table with itself. The Spark analog of the reference's
+  * "entities sharing >=1 blocking key, DISTINCT" candidate fetch
+  * (graph/CypherExecutor.java:377-394).
+  *
+  * Scale notes (SURVEY.md §4): blocking keys are Zipfian — the 2-char
+  * `bg:` keys are huge at scale. Mitigations applied here:
+  *  - hard cap on block size: keys whose group exceeds `maxBlockSize` are
+  *    dropped BEFORE the join (quadratic blowup prevention); dropped keys
+  *    are surfaced in [[CandidateStats]] — no silent truncation.
+  *  - the join itself is a shuffle-on-block_key equi-join; AQE skew-join
+  *    splitting handles residual skew within the cap.
+  *  - dedup to distinct unordered pairs (doc_id_a < doc_id_b) mirrors the
+  *    reference's RETURN DISTINCT (graph/CypherExecutor.java:386).
+  *
+  * The reference's full-scan fallback when blocking yields no candidates
+  * (api/EntityResolutionService.java:512-524, B4) is deliberately NOT
+  * reproduced: it is O(n^2) at table scale; the north rule measures F1
+  * "at shared blocking key", where the fallback never fires.
+  */
+object CandidateGenerator {
+
+  final case class CandidateStats(
+      totalKeys: Long,
+      distinctKeys: Long,
+      oversizedKeys: Long,
+      droppedKeyRows: Long)
+
+  /** Distinct candidate pairs (doc_id_a < doc_id_b) from a (block_key,
+    * doc_id) table, with oversized blocks dropped.
+    */
+  def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000): DataFrame = {
+    val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n"))
+    val kept = keys.join(
+      sized.where(col("block_n") <= maxBlockSize).select("block_key"),
+      Seq("block_key"))
+    val l = kept.select(col("block_key"), col("doc_id").as("doc_id_a"))
+    val r = kept.select(col("block_key"), col("doc_id").as("doc_id_b"))
+    l.join(r, Seq("block_key"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .distinct()
+  }
+
+  /** Block-size metrics for lineage/monitoring (dropped keys are a
+    * recall-affecting decision and must be visible).
+    */
+  def stats(keys: DataFrame, maxBlockSize: Int = 1000): CandidateStats = {
+    val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n")).cache()
+    try {
+      val agg = sized.agg(
+        count(lit(1)).as("distinct_keys"),
+        sum("block_n").as("total_rows"),
+        sum(when(col("block_n") > maxBlockSize, 1L).otherwise(0L)).as("oversized"),
+        sum(when(col("block_n") > maxBlockSize, col("block_n")).otherwise(0L)).as("dropped_rows")
+      ).collect()(0)
+      CandidateStats(
+        totalKeys = agg.getAs[Long]("total_rows"),
+        distinctKeys = agg.getAs[Long]("distinct_keys"),
+        oversizedKeys = agg.getAs[Long]("oversized"),
+        droppedKeyRows = Option(agg.getAs[Long]("dropped_rows")).getOrElse(0L))
+    } finally sized.unpersist()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.blocking.BlockingKeys
+import graft.checkpoint.StageStore
+import graft.cluster.ConnectedComponents
+import graft.decide.{Decisions, Thresholds}
+import graft.functions.Er
+import graft.pairs.CandidateGenerator
+import graft.sim.SimilarityWeights
+
+/** End-to-end batch record linkage: the whole-table closure of the
+  * reference's per-record resolve() lifecycle (SURVEY.md §3.1): for every
+  * doc at once — derive name from spans -> validate -> normalize ->
+  * blocking keys -> candidate self-join -> composite scoring -> threshold
+  * decisions -> AUTO_MERGE edges -> connected components -> cluster ids.
+  *
+  * Exact/synonym matches need no dedicated stage: equal normalized names
+  * share all blocking keys and the composite scorer short-circuits them to
+  * 1.0 (CompositeSimilarityScorer.java:34-36), so they always auto-merge.
+  *
+  * The span-sequence invariant holds by construction: `spans` is carried
+  * as an opaque column and re-attached to the output by doc_id; no stage
+  * transforms it.
+  */
+final case class PipelineConfig(
+    weights: SimilarityWeights = SimilarityWeights.default,
+    thresholds: Thresholds = Thresholds(),
+    entityType: Option[String] = Some(graft.norm.Normalizer.COMPANY),
+    maxBlockSize: Int = 1000,
+    useDefaultKeys: Boolean = true,
+    useSortedNeighborhoodKeys: Boolean = true,
+    useMinHashLsh: Boolean = true,
+    checkpointRoot: Option[String] = None,
+    numShufflePartitions: Option[Int] = None)
+
+final case class PipelineResult(
+    clusters: DataFrame,        // doc_id, cluster_id, spans
+    pairScores: DataFrame,      // doc_id_a/b, lev/jw/jaccard/score, decision
+    rejects: DataFrame,         // doc_id, reject_reason
+    metrics: DataFrame,         // decision -> n
+    candidateStats: CandidateGenerator.CandidateStats)
+
+object ResolvePipeline {
+
+  /** Run over a docs table (doc_id string, spans array<struct<...>>). */
+  def run(spark: SparkSession, docs: DataFrame,
+          cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
+    Er.register(spark)
+    cfg.numShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val store = cfg.checkpointRoot.map(new StageStore(_, spark))
+    val cfgFp = Seq(
+      cfg.weights.toString, cfg.thresholds.toString, cfg.entityType.toString,
+      cfg.maxBlockSize.toString, cfg.useDefaultKeys.toString,
+      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString).mkString("|")
+    def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
+      store match {
+        case Some(s) => s.materialize(name, s.fingerprint((cfgFp +: saltParts): _*))(compute)
+        case None => compute
+      }
+
+    // ---- name derivation + validation (N8): bad rows -> rejects, not errors
+    val named = docs
+      .withColumn("name", Er.docName(col("spans")))
+      .withColumn("reject_reason", Er.rejectReason(col("name")))
+    val rejects = named.where(col("reject_reason").isNotNull)
+      .select("doc_id", "reject_reason")
+    val valid = named.where(col("reject_reason").isNull).drop("reject_reason")
+
+    // ---- normalization (N1-N4)
+    val normalized = stage("normalized") {
+      valid.withColumn("normalized",
+        graft.norm.Normalizer.normalizeColumn(col("name"), cfg.entityType))
+    }
+    // keep the small projection cached across the key/score joins —
+    // the batch analog of the reference's entity-dim cache (I7)
+    val names = normalized.select("doc_id", "normalized")
+
+    // ---- blocking keys (B1 + B5 + B6): one unified (block_key, doc_id)
+    // table as a union of per-strategy key tables (each strategy stays a
+    // linear expression tree; the union is what gets bucketed by
+    // block_key at cluster scale)
+    val keyTables = Seq(
+      if (cfg.useDefaultKeys)
+        Some(BlockingKeys.explodeKeys(names, "doc_id",
+          BlockingKeys.defaultKeys(col("normalized"))))
+      else None,
+      if (cfg.useSortedNeighborhoodKeys)
+        Some(names
+          .select(BlockingKeys.sortedNeighborhoodKey(col("normalized")).as("block_key"),
+            col("doc_id"))
+          .where(col("block_key").isNotNull))
+      else None,
+      if (cfg.useMinHashLsh)
+        Some(BlockingKeys.minhashKeyTable(names, "doc_id", col("normalized")))
+      else None,
+    ).flatten
+    val keys = stage("blocking_keys") {
+      keyTables.reduce(_ union _)
+    }
+
+    // ---- candidate pairs (B3) with block-size cap + AQE skew handling
+    val candStats = CandidateGenerator.stats(keys, cfg.maxBlockSize)
+    val pairs = stage("candidate_pairs") {
+      CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize)
+    }
+
+    // ---- pairwise scoring (S1-S5) with full breakdown (D3: one row per
+    // comparison, the batch MatchDecisionRecord)
+    val a = names.select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
+    val b = names.select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
+    val pairScores = stage("pair_scores") {
+      pairs
+        .join(a, Seq("doc_id_a"))
+        .join(b, Seq("doc_id_b"))
+        .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
+        .withColumn("jw_score", Er.jaroWinkler(col("name_a"), col("name_b")))
+        .withColumn("jaccard_score", Er.tokenJaccard(col("name_a"), col("name_b")))
+        .withColumn("score", Er.compositeScore(col("name_a"), col("name_b"), cfg.weights))
+        .withColumn("decision", Decisions.decide(col("score"), cfg.thresholds))
+        .select("doc_id_a", "doc_id_b", "lev_score", "jw_score", "jaccard_score",
+          "score", "decision")
+    }
+
+    // ---- edges (M7/M9) -> connected components (L5/L7) -> clusters
+    val edges = pairScores.where(col("decision") === "AUTO_MERGE")
+      .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val vertices = valid.select("doc_id")
+    val assignments = stage("clusters") {
+      ConnectedComponents.run(spark, edges, vertices)
+    }
+
+    // ---- re-attach spans untouched (per-row invariant)
+    val clusters = assignments.join(docs.select("doc_id", "spans"), Seq("doc_id"))
+      .select("doc_id", "cluster_id", "spans")
+
+    val metrics = Decisions.decisionCounts(pairScores)
+    PipelineResult(clusters, pairScores, rejects, metrics, candStats)
+  }
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev harness mimicking the driver's correctness gate: run each oracle SQL
+in DuckDB over the testdata parquet and compare against the Verify parquet
+dumps (columns sorted by name, rows sorted, exact value compare).
+
+Dev tooling only — the shipped library is pure Scala/Spark.
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [tuple(cols[i] for i in order)] + out
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        tbl = pq.read_table(f"{outdir}/{name}")
+        spark_cols = tbl.column_names
+        spark_rows = [tuple(row[c] for c in spark_cols) for row in tbl.to_pylist()]
+    except Exception as e:
+        print(f"FAIL {name}: spark output unreadable: {e}")
+        fails += 1
+        continue
+    try:
+        res = con.execute(sql)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0][:200]}")
+        fails += 1
+        continue
+    a = canon(spark_rows, spark_cols)
+    b = canon(duck_rows, duck_cols)
+    if a[0] != b[0]:
+        print(f"FAIL {name}: schema mismatch spark={a[0]} duck={b[0]}")
+        fails += 1
+    elif len(a) != len(b):
+        print(f"FAIL {name}: rows spark={len(a)-1} duck={len(b)-1}")
+        fails += 1
+    elif a != b:
+        bad = [(x, y) for x, y in zip(a[1:], b[1:]) if x != y]
+        print(f"FAIL {name}: {len(bad)} differing rows of {len(a)-1}; first: spark={bad[0][0]} duck={bad[0][1]}")
+        fails += 1
+    else:
+        print(f"OK   {name}: {len(a)-1} rows")
+print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)
