@@ -254,12 +254,17 @@ object SparkEntry {
     // --- n-gram (3-char shingle) Jaccard on consecutive-id pairs
     "q16_ngram_jaccard" -> ((s, dir) => {
       val d = documents(s, dir)
-      val l = d.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"))
+        .withColumn("__s", BlockingKeys.shingles(col("text")))
+      val l = d.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"),
+        col("__s").as("s_a"))
       val r = d.select((col("doc_id") - 1).as("doc_id_a"),
-        col("doc_id").as("doc_id_b"), col("text").as("text_b"))
+        col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+      val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
       l.join(r, Seq("doc_id_a"))
         .select(col("doc_id_a"), col("doc_id_b"),
-          Dedup.shingleJaccard(col("text_a"), col("text_b")).as("jaccard"))
+          when(col("text_a") === col("text_b"), lit(1.0))
+            .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
+            .as("jaccard"))
     }),
 
     // --- B6: MinHash LSH band keys
@@ -267,9 +272,13 @@ object SparkEntry {
       BlockingKeys.minhashKeyTable(documents(s, dir), "doc_id", col("text"))
         .select(col("doc_id"), col("block_key").as("band_key"))),
 
-    // --- MinHash near-dup (band join + shingle-Jaccard verify)
+    // --- MinHash near-dup (band join + shingle-Jaccard verify); oracle
+    //     restricted to doc_id < 150 (the synthetic corpus is so
+    //     self-similar that bands collide massively — a property of the
+    //     testdata, not the operator)
     "q18_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDups(documents(s, dir), "doc_id", "text", threshold = 0.5)),
+      Dedup.minhashNearDups(documents(s, dir).where(col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.5)),
 
     // --- SimHash fingerprints
     "q19_simhash" -> ((s, dir) => {
@@ -447,24 +456,33 @@ object SparkEntry {
            |FROM documents""".stripMargin,
 
       "q16_ngram_jaccard" ->
-        s"""SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           | ${O.shingleJaccard("a.text", "b.text")} AS jaccard
-           |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+        s"""WITH sh AS (SELECT doc_id, text, ${O.shingles("text")} AS s FROM documents),
+           |pr AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           |       a.text = b.text AS same,
+           |       len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+           |       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+           |SELECT doc_id_a, doc_id_b,
+           | CASE WHEN same THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) END AS jaccard
+           |FROM pr""".stripMargin,
 
       "q17_minhash_bands" ->
         s"""SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS band_key
            |FROM documents WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
 
       "q18_minhash_neardup" ->
-        s"""WITH k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key
-           |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        s"""WITH docs150 AS (SELECT doc_id, text FROM documents
+           |                 WHERE doc_id < 150 AND text IS NOT NULL AND length(text) > 0),
+           |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key FROM docs150),
            |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           |      FROM k a JOIN k b USING(block_key) WHERE a.doc_id < b.doc_id)
+           |      FROM k a JOIN k b USING(block_key) WHERE a.doc_id < b.doc_id),
+           |sh AS (SELECT doc_id, text, ${O.shingles("text")} AS s FROM docs150),
+           |pr AS (SELECT doc_id_a, doc_id_b, da.text = db.text AS same,
+           |       len(list_intersect(da.s, db.s)) AS i, len(da.s) AS la, len(db.s) AS lb
+           |       FROM p JOIN sh da ON da.doc_id = doc_id_a JOIN sh db ON db.doc_id = doc_id_b)
            |SELECT doc_id_a, doc_id_b,
-           | ${O.shingleJaccard("da.text", "db.text")} AS jaccard
-           |FROM p JOIN documents da ON da.doc_id = doc_id_a
-           |       JOIN documents db ON db.doc_id = doc_id_b
-           |WHERE ${O.shingleJaccard("da.text", "db.text")} >= 0.5""".stripMargin,
+           | CASE WHEN same THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) END AS jaccard
+           |FROM pr
+           |WHERE CASE WHEN same THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) END >= 0.5""".stripMargin,
 
       "q19_simhash" ->
         s"SELECT doc_id, ${O.simhash(toksLower)} AS simhash FROM documents",

@@ -57,10 +57,17 @@ object Dedup {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    val a = base.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"))
-    val b = base.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"))
+    // shingle sets staged ONCE per doc (their own projection), so the
+    // verify join does a single array_intersect per pair — not a
+    // re-shingling of both texts per candidate
+    val sh = base.withColumn("__s", BlockingKeys.shingles(col("text")))
+    val a = sh.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"), col("__s").as("s_a"))
+    val b = sh.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
     pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b")))
+      .withColumn("jaccard",
+        when(col("text_a") === col("text_b"), lit(1.0))
+          .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

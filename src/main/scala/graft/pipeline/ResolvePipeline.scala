@@ -45,14 +45,39 @@ final case class PipelineResult(
 
 object ResolvePipeline {
 
+  private val profile = sys.env.contains("GRAFT_PROFILE")
+  private def timed[T](name: String)(f: => T): T = {
+    if (!profile) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[pipeline] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   /** Run over a docs table (doc_id string, spans array<struct<...>>). */
   def run(spark: SparkSession, docs: DataFrame,
           cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
     Er.register(spark)
+    // AQE: runtime coalescing + skew-join splitting for the hot-key
+    // blocking joins (runtime-settable, independent of session builder)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))
+    // Stage fingerprints = config + a cheap input identity (count +
+    // order-independent id-hash sum), so a different input table can never
+    // be silently resumed from a stale snapshot.
+    val inputFp = store.map { _ =>
+      val row = docs.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).collect()(0)
+      s"${row.get(0)}:${row.get(1)}"
+    }.getOrElse("")
     val cfgFp = Seq(
+      inputFp,
       cfg.weights.toString, cfg.thresholds.toString, cfg.entityType.toString,
       cfg.maxBlockSize.toString, cfg.useDefaultKeys.toString,
       cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString).mkString("|")
@@ -103,34 +128,64 @@ object ResolvePipeline {
     }
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
-    val candStats = CandidateGenerator.stats(keys, cfg.maxBlockSize)
+    val candStats = timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
     val pairs = stage("candidate_pairs") {
       CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize)
     }
 
     // ---- pairwise scoring (S1-S5) with full breakdown (D3: one row per
-    // comparison, the batch MatchDecisionRecord)
+    // comparison, the batch MatchDecisionRecord). The composite is derived
+    // from the breakdown ALIASES (the reference's computeWithBreakdown
+    // shape) — multi-use non-cheap aliases stop CollapseProject from
+    // inlining, so each kernel runs once per pair.
     val a = names.select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
     val b = names.select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
-    val pairScores = stage("pair_scores") {
-      pairs
-        .join(a, Seq("doc_id_a"))
-        .join(b, Seq("doc_id_b"))
-        .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
-        .withColumn("jw_score", Er.jaroWinkler(col("name_a"), col("name_b")))
-        .withColumn("jaccard_score", Er.tokenJaccard(col("name_a"), col("name_b")))
-        .withColumn("score", Er.compositeScore(col("name_a"), col("name_b"), cfg.weights))
-        .withColumn("decision", Decisions.decide(col("score"), cfg.thresholds))
-        .select("doc_id_a", "doc_id_b", "lev_score", "jw_score", "jaccard_score",
-          "score", "decision")
+    val w = cfg.weights
+    // Explicit repartition AFTER the name joins, immediately below the
+    // scoring projection: scoring is CPU-bound per ROW (ms-scale string
+    // kernels on long names), so AQE's byte-based coalescing would
+    // collapse the small-in-bytes pair table into one task. A
+    // user-specified repartition is exempt from AQE coalescing, and
+    // placing it as the last exchange pins the scoring stage's
+    // parallelism regardless of the join strategy chosen upstream.
+    val scoreParallelism = cfg.numShufflePartitions
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val scoredPlan = pairs
+      .join(a, Seq("doc_id_a"))
+      .join(b, Seq("doc_id_b"))
+      .repartition(scoreParallelism, col("doc_id_a"), col("doc_id_b"))
+      .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
+      .withColumn("jw_score", Er.jaroWinkler(col("name_a"), col("name_b")))
+      .withColumn("jaccard_score", Er.tokenJaccard(col("name_a"), col("name_b")))
+      .withColumn("score",
+        when(col("name_a").isNull || col("name_b").isNull, lit(0.0))
+          .when(col("name_a") === col("name_b"), lit(1.0))
+          .otherwise(lit(w.levenshteinWeight) * col("lev_score")
+            + lit(w.jaroWinklerWeight) * col("jw_score")
+            + lit(w.jaccardWeight) * col("jaccard_score")))
+      .withColumn("decision", Decisions.decide(col("score"), cfg.thresholds))
+      .select("doc_id_a", "doc_id_b", "lev_score", "jw_score", "jaccard_score",
+        "score", "decision")
+    // The scored-pairs table is a MATERIALIZATION BARRIER: downstream
+    // filters (AUTO_MERGE edges, metrics) must not be pushed back through
+    // the candidate join — Catalyst would otherwise re-evaluate the full
+    // composite score as a join-residual predicate on the pre-distinct,
+    // skew-concentrated key stream (observed 17x blowup). With a
+    // StageStore the parquet snapshot is that barrier; without one, an
+    // eager localCheckpoint is.
+    val pairScores = store match {
+      case Some(_) => stage("pair_scores")(scoredPlan)
+      case None => scoredPlan.localCheckpoint(true)
     }
 
     // ---- edges (M7/M9) -> connected components (L5/L7) -> clusters
     val edges = pairScores.where(col("decision") === "AUTO_MERGE")
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
     val vertices = valid.select("doc_id")
-    val assignments = stage("clusters") {
-      ConnectedComponents.run(spark, edges, vertices)
+    val assignments = timed("cc") {
+      stage("clusters") {
+        ConnectedComponents.run(spark, edges, vertices)
+      }
     }
 
     // ---- re-attach spans untouched (per-row invariant)

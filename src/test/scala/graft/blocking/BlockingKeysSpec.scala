@@ -1,0 +1,105 @@
+package graft.blocking
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Blocking-key shape goldens ported from
+  * similarity/BlockingKeyStrategyTest.java:22-100 (FIXTURES.md §3.3),
+  * checked against both the Scala mirror and the Column expression.
+  */
+class BlockingKeysSpec extends AnyFunSuite {
+
+  val goldens: Seq[(String, Set[String])] = Seq(
+    "microsoft corporation" -> Set("pfx:mic", "tok:corporation|microsoft", "bg:mi"),
+    "microsoft" -> Set("pfx:mic", "tok:microsoft", "bg:mi"),
+    "ab" -> Set("pfx:ab", "tok:ab", "bg:ab"),
+    "a" -> Set("pfx:a", "tok:a", "bg:a"),
+    "" -> Set.empty[String],
+    "   " -> Set.empty[String],
+  )
+
+  test("golden key shapes (Scala)") {
+    goldens.foreach { case (in, expected) =>
+      assert(BlockingKeys.defaultKeysScala(in).toSet == expected, s"input '$in'")
+    }
+    assert(BlockingKeys.defaultKeysScala(null).isEmpty)
+  }
+
+  test("case-insensitive: MICROSOFT == microsoft") {
+    assert(BlockingKeys.defaultKeysScala("MICROSOFT") ==
+      BlockingKeys.defaultKeysScala("microsoft"))
+  }
+
+  test("Column expression matches Scala mirror") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val inputs = goldens.map(_._1) ++ Seq("Zebra Alpha", "one two three four")
+    val got = inputs.toDF("name")
+      .select(col("name"), BlockingKeys.defaultKeys(col("name")).as("keys"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    inputs.foreach { in =>
+      assert(got(in) == BlockingKeys.defaultKeysScala(in).toSet, s"parity on '$in'")
+    }
+  }
+
+  test("sorted-token key handles reordered names") {
+    // 'tok:' key is identical under token reorder (ADR-001 rationale)
+    val a = BlockingKeys.defaultKeysScala("alpha beta").filter(_.startsWith("tok:"))
+    val b = BlockingKeys.defaultKeysScala("beta alpha").filter(_.startsWith("tok:"))
+    assert(a == b && a == Seq("tok:alpha|beta"))
+  }
+
+  test("minhash signature is deterministic and collision-sane") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "a completely different doc")
+      .toDF("t")
+      .withColumn("sh", BlockingKeys.shingleHashes(col("t")))
+      .withColumn("sig", BlockingKeys.minhashSignatureFromHashes(col("sh")))
+    val sigs = df.collect().map(_.getSeq[Long](2))
+    assert(sigs(0) == sigs(1), "identical text -> identical signature")
+    assert(sigs(0) != sigs(2), "different text -> different signature")
+    assert(sigs(0).length == BlockingKeys.NumHashes)
+  }
+
+  test("minhash band keys: identical docs share all bands") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val keys = BlockingKeys.minhashKeyTable(
+      Seq((1L, "hello world of spark"), (2L, "hello world of spark")).toDF("id", "t"),
+      "id", col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byKey = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey.size == BlockingKeys.Bands)
+    assert(byKey.values.forall(_ == Set(1L, 2L)))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val toks = filter(split(lower(col("t")), "\\s+"), x => length(x) > 0)
+    val out = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy cat again and again",
+      "entirely unrelated words describing some other topic completely")
+      .toDF("t")
+      .withColumn("th", BlockingKeys.tokenHashes(toks))
+      .select(BlockingKeys.simhashFromHashes(col("th")))
+      .collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(0), out(1)) < hamming(out(0), out(2)))
+  }
+
+  test("sorted-neighborhood pairs: adjacent in sort order") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "aab"), (3L, "zzz")).toDF("id", "name")
+    val pairs = BlockingKeys.sortedNeighborhoodPairs(df, "id", "name", windowSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.cluster
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** CC shapes from FIXTURES.md §4: chain, star, disjoint pairs, cycle,
+  * singleton. cluster_id = min member — the batch equivalent of following
+  * MERGED_INTO* to the canonical entity (graph/CypherExecutor.java:329-338).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  private def run(edges: Seq[(String, String)], vertices: Seq[String]): Map[String, String] = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    ConnectedComponents.run(spark,
+        edges.toDF("src", "dst"),
+        vertices.toDF("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("chain a-b-c-d -> one cluster rooted at a") {
+    val got = run(Seq("a" -> "b", "b" -> "c", "c" -> "d"), Seq("a", "b", "c", "d"))
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
+  test("star centered on z -> rooted at min leaf") {
+    val got = run(Seq("z" -> "a", "z" -> "b", "z" -> "c"), Seq("a", "b", "c", "z"))
+    assert(got.values.toSet == Set("a"))
+  }
+
+  test("two disjoint pairs") {
+    val got = run(Seq("a" -> "b", "c" -> "d"), Seq("a", "b", "c", "d"))
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
+  }
+
+  test("cycle") {
+    val got = run(Seq("a" -> "b", "b" -> "c", "c" -> "a"), Seq("a", "b", "c"))
+    assert(got.values.toSet == Set("a"))
+  }
+
+  test("singletons own their cluster") {
+    val got = run(Seq("a" -> "b"), Seq("a", "b", "x", "y"))
+    assert(got("x") == "x" && got("y") == "y" && got("b") == "a")
+  }
+
+  test("empty edges -> identity") {
+    val got = run(Seq.empty, Seq("p", "q"))
+    assert(got == Map("p" -> "p", "q" -> "q"))
+  }
+
+  test("long chain converges (log-round star contraction)") {
+    val n = 64
+    val ids = (0 until n).map(i => f"v$i%03d")
+    val edges = (0 until n - 1).map(i => ids(i) -> ids(i + 1))
+    val got = run(edges, ids)
+    assert(got.values.toSet == Set(ids.head))
+  }
+
+  test("numeric ids use numeric min (type-preserving)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val got = ConnectedComponents.run(spark,
+        Seq((100L, 9L)).toDF("src", "dst"),
+        Seq(9L, 100L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(9L -> 9L, 100L -> 9L))
+  }
+}

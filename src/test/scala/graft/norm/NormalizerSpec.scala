@@ -1,0 +1,73 @@
+package graft.norm
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Golden normalization cases ported from the reference's parameterized
+  * tests (rules/NormalizationEngineTest.java:29-90, FIXTURES.md §3.1),
+  * checked against BOTH the plain-Scala port and the Column chain.
+  */
+class NormalizerSpec extends AnyFunSuite {
+
+  val goldens: Seq[(String, String)] = Seq(
+    "Apple Inc." -> "apple",
+    "Apple Incorporated" -> "apple",
+    "Microsoft Corporation" -> "microsoft",
+    "Google LLC" -> "google",
+    "Amazon.com Ltd" -> "amazon com",
+    "Tesla Company" -> "tesla",
+    "Volkswagen AG" -> "volkswagen",
+    "Siemens GmbH" -> "siemens",
+    "Royal Dutch Shell N.V." -> "royal dutch shell",
+    "Unilever B.V." -> "unilever",
+    "The Coca Cola" -> "coca cola",
+    "Procter & Gamble" -> "procter gamble",
+    "Procter and Gamble" -> "procter gamble",
+    "Big    Blue" -> "big blue",
+    "IBM" -> "ibm",
+    // trailing whitespace defeats the $-anchored suffix rule, so "Company"
+    // survives — the reference asserts exactly this
+    // (NormalizationEngineTest.java testSpaceCollapsing)
+    "  Test   Company  " -> "test company",
+  )
+
+  test("golden cases (Scala port)") {
+    goldens.foreach { case (in, expected) =>
+      assert(Normalizer.normalize(in) == expected, s"input '$in'")
+    }
+  }
+
+  test("golden cases (Column chain) match the Scala port") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = goldens.map(_._1).toDF("name")
+      .select(col("name"), Normalizer.normalizeColumn(col("name")).as("norm"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    goldens.foreach { case (in, expected) =>
+      assert(got(in) == expected, s"column chain on '$in'")
+    }
+  }
+
+  test("null/blank handling") {
+    assert(Normalizer.normalize(null) == "")
+    assert(Normalizer.normalize("   ") == "")
+    assert(Normalizer.normalize("") == "")
+  }
+
+  test("person rules") {
+    assert(Normalizer.normalize("Dr. John Smith Jr.", Some(Normalizer.PERSON)) == "john smith")
+    assert(Normalizer.normalize("Mrs. Jane Doe", Some(Normalizer.PERSON)) == "jane doe")
+  }
+
+  test("N7 equivalence") {
+    assert(Normalizer.areEquivalent("Apple Inc.", "apple incorporated", Some(Normalizer.COMPANY)))
+    assert(!Normalizer.areEquivalent("Apple", "Microsoft", Some(Normalizer.COMPANY)))
+  }
+
+  test("rule priority is stable: 'and' before ampersand-strip before special chars") {
+    // "A and B & C" -> and-rule -> "A B & C" -> ampersand -> "A B C"
+    assert(Normalizer.normalize("A and B & C") == "a b c")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.blocking.BlockingKeys
+import graft.functions.Er
+import graft.gen.DocGen
+import graft.norm.Normalizer
+
+/** End-to-end north-rule checks: pairwise F1 >= 0.99 against labeled
+  * pairs at shared blocking key, and the exact span-sequence invariant
+  * (kind, text, media_ref, order) through the whole pipeline.
+  */
+class ResolvePipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val truthDocs = DocGen.corpusDF(spark, entities = 40, docsPerEntity = 4)
+
+  private lazy val result =
+    ResolvePipeline.run(spark, truthDocs.select("doc_id", "spans"))
+
+  test("pairwise F1 >= 0.99 on labeled pairs at shared blocking key") {
+    import spark.implicits._
+    val truth = truthDocs.select(col("doc_id"), col("entity_id"))
+
+    // blocking keys over derived+normalized names (same derivation as the
+    // pipeline): candidate universe for negative labels
+    val names = truthDocs.select(col("doc_id"),
+      Normalizer.normalizeColumn(Er.docName(col("spans"))).as("normalized"))
+    val keys = BlockingKeys.explodeKeys(names, "doc_id",
+      BlockingKeys.defaultKeys(col("normalized")))
+    val l = keys.select(col("block_key"), col("doc_id").as("doc_id_a"))
+    val r = keys.select(col("block_key"), col("doc_id").as("doc_id_b"))
+    val sharedKey = l.join(r, Seq("block_key"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+
+    val ta = truth.select(col("doc_id").as("doc_id_a"), col("entity_id").as("ea"))
+    val tb = truth.select(col("doc_id").as("doc_id_b"), col("entity_id").as("eb"))
+
+    // positives: ALL intra-entity pairs (blocking recall is part of the
+    // measurement); negatives: cross-entity pairs sharing >= 1 key
+    val positives = ta.join(tb, col("doc_id_a") < col("doc_id_b"))
+      .where(col("ea") === col("eb"))
+      .select("doc_id_a", "doc_id_b")
+    val negatives = sharedKey.join(ta, Seq("doc_id_a")).join(tb, Seq("doc_id_b"))
+      .where(col("ea") =!= col("eb"))
+      .select("doc_id_a", "doc_id_b")
+    val labeled = positives.withColumn("is_match", lit(true))
+      .union(negatives.withColumn("is_match", lit(false)))
+
+    val ca = result.clusters.select(col("doc_id").as("doc_id_a"), col("cluster_id").as("cl_a"))
+    val cb = result.clusters.select(col("doc_id").as("doc_id_b"), col("cluster_id").as("cl_b"))
+    val evaluated = labeled.join(ca, Seq("doc_id_a")).join(cb, Seq("doc_id_b"))
+      .withColumn("pred", col("cl_a") === col("cl_b"))
+
+    val agg = evaluated.agg(
+      sum(when(col("is_match") && col("pred"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("is_match") && col("pred"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("is_match") && !col("pred"), 1L).otherwise(0L)).as("fn")
+    ).collect()(0)
+    val (tp, fp, fn) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val precision = tp.toDouble / math.max(1L, tp + fp)
+    val recall = tp.toDouble / math.max(1L, tp + fn)
+    val f1 = 2 * precision * recall / math.max(1e-12, precision + recall)
+    info(f"tp=$tp fp=$fp fn=$fn precision=$precision%.4f recall=$recall%.4f f1=$f1%.4f")
+    assert(tp > 0, "no true positives — corpus or pipeline broken")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f < 0.99")
+  }
+
+  test("span-sequence invariant: output spans byte-identical to input") {
+    val in = truthDocs.select(col("doc_id"), col("spans"))
+    val out = result.clusters.select(col("doc_id"), col("spans"))
+    assert(out.count() == in.count(), "row count changed")
+    // exact struct-array equality including order
+    assert(in.exceptAll(out).isEmpty && out.exceptAll(in).isEmpty,
+      "span sequences were not preserved exactly")
+  }
+
+  test("no rejects on the clean corpus; decision metrics exist") {
+    assert(result.rejects.isEmpty)
+    val decisions = result.metrics.collect().map(_.getString(0)).toSet
+    assert(decisions.contains("AUTO_MERGE"))
+  }
+
+  test("deterministic across reruns") {
+    val again = ResolvePipeline.run(spark, truthDocs.select("doc_id", "spans"))
+    assert(result.clusters.select("doc_id", "cluster_id")
+      .exceptAll(again.clusters.select("doc_id", "cluster_id")).isEmpty)
+  }
+
+  test("invalid docs go to rejects, not exceptions") {
+    import spark.implicits._
+    val bad = Seq(
+      ("good-1", Seq(graft.model.Span("text", "acme corp", "", 0))),
+      ("bad-blank", Seq(graft.model.Span("text", "   ", "", 0))),
+      ("bad-ctl", Seq(graft.model.Span("text", "acme\u0001corp", "", 0))),
+      ("bad-long", Seq(graft.model.Span("text", "x" * 1001, "", 0)))
+    ).toDF("doc_id", "spans")
+    val res = ResolvePipeline.run(spark, bad)
+    val rejects = res.rejects.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rejects == Map("bad-blank" -> "blank", "bad-ctl" -> "control_chars",
+      "bad-long" -> "too_long"))
+    assert(res.clusters.count() == 1)
+  }
+}
