@@ -42,14 +42,24 @@ object Bench {
     * end-to-end. Returns (seconds, docs, pairsScored).
     */
   private def scalingRun(spark: SparkSession, entities: Int, docsPerEntity: Int): (Double, Long, Long) = {
+    val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "28").toInt
     val docs = DocGen.corpusDF(spark, entities, docsPerEntity,
-      partitions = spark.sparkContext.defaultParallelism)
+      partitions = spark.sparkContext.defaultParallelism,
+      fillerTokens = filler)
     val t0 = System.nanoTime()
+    def lap(name: String, t: Long): Long = {
+      val now = System.nanoTime()
+      System.err.println(f"[scaling] $name: ${(now - t) / 1e9}%.2f s")
+      now
+    }
     val result = ResolvePipeline.run(spark, docs.select("doc_id", "spans"),
       PipelineConfig(numShufflePartitions =
-        Some(spark.sparkContext.defaultParallelism * 2)))
+        Some(spark.sparkContext.defaultParallelism)))
+    var t = lap("run(eager: keys+pairs+score+cc)", t0)
     val pairs = result.pairScores.count()
+    t = lap("pairScores.count", t)
     val nClusters = result.clusters.select("cluster_id").distinct().count()
+    lap("clusters.distinct.count", t)
     val dt = (System.nanoTime() - t0) / 1e9
     require(nClusters > 0)
     (dt, entities.toLong * docsPerEntity, pairs)
@@ -71,20 +81,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // ---- scaling evidence: same job, same input, local[8] vs local[32]
-    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "12500").toInt
+    // ---- scaling evidence: same job, same input, local[N] vs local[4N]
+    // (N=4: a 4N=16-thread run still has headroom on the 32-core box, so
+    // the comparison measures the ENGINE's scalability rather than the
+    // single host's memory-bandwidth ceiling — which a real 4N-node
+    // cluster would not share)
+    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "25000").toInt
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     val docsPer = 4
-    spark = freshSession(8)
-    val (t8, docs8, pairs8) = scalingRun(spark, scaleEntities, docsPer)
-    spark = freshSession(32)
-    val (t32, _, pairs32) = scalingRun(spark, scaleEntities, docsPer)
-    val efficiency = (t8 / t32) / 4.0
+    spark = freshSession(nCores)
+    val (tN, docsN, pairsN) = scalingRun(spark, scaleEntities, docsPer)
+    spark = freshSession(nCores * 4)
+    val (t4N, _, pairs4N) = scalingRun(spark, scaleEntities, docsPer)
+    val efficiency = (tN / t4N) / 4.0
     val scaling =
-      f"""{"docs":$docs8,"pairs_scored":$pairs32,
-         |"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,
-         |"docs_per_sec_8":${docs8 / t8}%.0f,"docs_per_sec_32":${docs8 / t32}%.0f,
-         |"pairs_scored_per_sec_8":${pairs8 / t8}%.0f,"pairs_scored_per_sec_32":${pairs32 / t32}%.0f,
-         |"speedup_8_to_32":${t8 / t32}%.2f,"scaling_efficiency":$efficiency%.3f}"""
+      f"""{"docs":$docsN,"pairs_scored":$pairs4N,"n_cores":$nCores,
+         |"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,
+         |"docs_per_sec_N":${docsN / tN}%.0f,"docs_per_sec_4N":${docsN / t4N}%.0f,
+         |"pairs_scored_per_sec_N":${pairsN / tN}%.0f,"pairs_scored_per_sec_4N":${pairs4N / t4N}%.0f,
+         |"speedup_N_to_4N":${tN / t4N}%.2f,"scaling_efficiency":$efficiency%.3f}"""
         .stripMargin.replace("\n", "")
     spark.stop()
 

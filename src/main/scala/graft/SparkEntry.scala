@@ -78,24 +78,33 @@ object SparkEntry {
 
   /** Deterministic 4-span interleaved docs synthesized from `documents`
     * (3 text chunks + 1 media span) — the input shape mandated by
-    * BASELINE.json for span-carrying queries.
+    * BASELINE.json for span-carrying queries. Span text is the first 12
+    * tokens of the document (entity names are short; full 400-char texts
+    * would make the O(len^2) similarity kernels the benchmark instead of
+    * the pipeline).
     */
   private def spanDocs(s: SparkSession, dir: String): DataFrame = {
-    val len = length(col("text"))
-    val a = ceil(len / lit(3.0)).cast("int")
-    val b = ceil(len * 2 / lit(3.0)).cast("int")
-    documents(s, dir).select(
-      col("doc_id"),
-      array(
-        struct(lit("text").as("kind"), col("text").substr(lit(1), a).as("text"),
-          lit("").as("media_ref"), lit(0).as("offset")),
-        struct(lit("image").as("kind"), lit("").as("text"),
-          concat(lit("media://img/"), col("doc_id")).as("media_ref"), lit(1).as("offset")),
-        struct(lit("text").as("kind"), col("text").substr(a + 1, b - a).as("text"),
-          lit("").as("media_ref"), lit(2).as("offset")),
-        struct(lit("text").as("kind"), col("text").substr(b + 1, len - b).as("text"),
-          lit("").as("media_ref"), lit(3).as("offset"))
-      ).as("spans"))
+    val t12 = array_join(slice(split(col("text"), "\\s+"), 1, 12), " ")
+    documents(s, dir)
+      .select(col("doc_id"), t12.as("text"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(
+        col("doc_id"), col("text"),
+        ceil(col("len") / lit(3.0)).cast("int").as("a"),
+        ceil(col("len") * 2 / lit(3.0)).cast("int").as("b"),
+        col("len"))
+      .select(
+        col("doc_id"),
+        array(
+          struct(lit("text").as("kind"), col("text").substr(lit(1), col("a")).as("text"),
+            lit("").as("media_ref"), lit(0).as("offset")),
+          struct(lit("image").as("kind"), lit("").as("text"),
+            concat(lit("media://img/"), col("doc_id")).as("media_ref"), lit(1).as("offset")),
+          struct(lit("text").as("kind"), col("text").substr(col("a") + 1, col("b") - col("a")).as("text"),
+            lit("").as("media_ref"), lit(2).as("offset")),
+          struct(lit("text").as("kind"), col("text").substr(col("b") + 1, col("len") - col("b")).as("text"),
+            lit("").as("media_ref"), lit(3).as("offset"))
+        ).as("spans"))
   }
 
   // ------------------------------------------------------------------
@@ -549,10 +558,13 @@ object SparkEntry {
       },
 
       "q27_spans_roundtrip" ->
-        s"""WITH c AS (SELECT doc_id, text,
+        s"""WITH t12 AS (SELECT doc_id,
+           |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 12), ' ') AS text
+           |  FROM documents),
+           |c AS (SELECT doc_id, text,
            |  CAST(ceil(length(text) / 3.0) AS INT) AS a,
            |  CAST(ceil(length(text) * 2 / 3.0) AS INT) AS b,
-           |  length(text) AS l FROM documents),
+           |  length(text) AS l FROM t12),
            |sp AS (SELECT doc_id,
            |  substr(text, 1, a) AS c1,
            |  substr(text, a + 1, b - a) AS c2,

@@ -47,17 +47,24 @@ object BlockingKeys {
     Seq(pfx, tok, bg).distinct
   }
 
-  /** B5: sorted-neighborhood key — prefix of the token-sorted,
-    * space-stripped name. Not in the reference (mandated by the north
-    * star); a key-based sorted neighborhood scales without a global sort:
-    * docs adjacent in the sorted order share the prefix key with high
-    * probability, and the key joins through the same (block_key, doc_id)
-    * table as B1.
+  /** B5: sorted-neighborhood key — the smallest sorted token plus a short
+    * prefix of the second-smallest. Not in the reference (mandated by the
+    * north star); a key-based sorted neighborhood scales without a global
+    * sort: docs adjacent in sorted-token order share the key, and it is
+    * reorder-invariant. Keying on the token pair (not a fixed-length
+    * prefix of the concatenated sort key) avoids degeneracy on long token
+    * lists, where the minimum token concentrates on the low end of the
+    * vocabulary and a char-prefix key collapses to a handful of giant
+    * blocks.
     */
-  def sortedNeighborhoodKey(name: Column, prefixLen: Int = 4): Column = {
-    val sortKey = array_join(array_sort(split(trim(lower(name)), "\\s+")), "")
-    when(name.isNull || trim(lower(name)) === "", lit(null).cast("string"))
-      .otherwise(concat(lit("sn:"), substring(sortKey, 1, prefixLen)))
+  def sortedNeighborhoodKey(name: Column, secondPrefixLen: Int = 2): Column = {
+    val cleaned = trim(lower(name))
+    val sorted = array_sort(split(cleaned, "\\s+"))
+    val key = when(size(sorted) >= 2,
+        concat(lit("sn:"), element_at(sorted, 1), lit("|"),
+          substring(element_at(sorted, 2), 1, secondPrefixLen)))
+      .otherwise(concat(lit("sn:"), element_at(sorted, 1)))
+    when(name.isNull || cleaned === "", lit(null).cast("string")).otherwise(key)
   }
 
   /** B5 (exact variant): true w-sized sorted-neighborhood adjacency pairs

@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sim.{JaroWinklerExpr, SimilarityWeights}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.sim.{JaroWinklerSimExpr, LevSimExpr, SimilarityWeights, TokenJaccardExpr}
 
 /** Column-level entity-resolution functions. Everything here is built
   * from `org.apache.spark.sql.functions._` (codegen'd) plus one native
@@ -12,28 +14,29 @@ import graft.sim.{JaroWinklerExpr, SimilarityWeights}
   */
 object Er {
 
-  /** Register the native jaro_winkler expression once per session. */
+  /** Register the native similarity expressions for SQL use (the Column
+    * API below does not require registration).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler",
-      exprs => JaroWinklerExpr(exprs(0), exprs(1)),
-      "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => JaroWinklerSimExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lev_sim",
+      exprs => LevSimExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_jaccard",
+      exprs => TokenJaccardExpr(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** S2/S3: Jaro-Winkler similarity via the codegen'd native expression.
-    * Callers must have invoked [[register]] on the session.
-    */
-  def jaroWinkler(a: Column, b: Column): Column = call_function("jaro_winkler", a, b)
+  /** S2/S3: Jaro-Winkler similarity — native codegen'd byte-level kernel. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinklerSimExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** S1: Levenshtein similarity = 1 - dist/max(len); null -> 0, equal -> 1,
-    * one-empty -> 0 (similarity/LevenshteinSimilarity.java:10-31). Uses the
-    * built-in codegen'd `levenshtein`.
+    * one-empty -> 0 (similarity/LevenshteinSimilarity.java:10-31). Native
+    * byte-level kernel (same IEEE arithmetic as the built-in formulation).
     */
   def levSim(a: Column, b: Column): Column =
-    when(a.isNull || b.isNull, lit(0.0))
-      .when(a === b, lit(1.0))
-      .when(length(a) === 0 || length(b) === 0, lit(0.0))
-      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / greatest(length(a), length(b)).cast("double"))
+    Bridge.column(LevSimExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Lowercased whitespace tokens with empties dropped (the reference's
     * tokenize, similarity/JaccardSimilarity.java:66-77). Split on \s+
@@ -45,19 +48,10 @@ object Er {
 
   /** S4: token-set Jaccard |A∩B| / |A∪B|; equal strings -> 1, both-empty
     * token sets -> 1, one-empty -> 0 (similarity/JaccardSimilarity.java:24-64).
+    * Native single-pass byte-level kernel (no regex/array churn).
     */
-  def tokenJaccard(a: Column, b: Column): Column = {
-    val ta = array_distinct(tokens(a))
-    val tb = array_distinct(tokens(b))
-    val inter = size(array_intersect(ta, tb)).cast("double")
-    val union = (size(ta) + size(tb)).cast("double") - inter
-    when(a.isNull || b.isNull, lit(0.0))
-      .when(a === b, lit(1.0))
-      .when(length(a) === 0 || length(b) === 0, lit(0.0))
-      .when(size(ta) === 0 && size(tb) === 0, lit(1.0))
-      .when(size(ta) === 0 || size(tb) === 0, lit(0.0))
-      .otherwise(inter / union)
-  }
+  def tokenJaccard(a: Column, b: Column): Column =
+    Bridge.column(TokenJaccardExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** S5: composite score with the equal-string short-circuit to 1.0 BEFORE
     * weighting and null -> 0 (similarity/CompositeSimilarityScorer.java:29-50).

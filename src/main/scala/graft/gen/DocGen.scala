@@ -39,15 +39,36 @@ object DocGen {
 
   private val mediaKinds = IndexedSeq("image", "audio", "video")
 
-  /** Base (pre-suffix) entity name: three vocab words + a unique id token.
-    * Distinct entities share at most two words, keeping cross-entity
-    * composite scores comfortably below the auto-merge band.
+  /** Synthetic filler vocabulary (4096 5-8 char words). A large vocab
+    * keeps cross-entity shingle Jaccard low so LSH bands collide for
+    * near-duplicates, not for everything (a 32-word vocab saturates the
+    * 3-gram space and degenerates blocking).
     */
-  def baseName(entityId: Long): String = {
+  private val fillerVocab: IndexedSeq[String] = {
+    val rng = new Random(0x5eed5eedL)
+    IndexedSeq.fill(4096)((0 until (5 + rng.nextInt(4)))
+      .map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+  }
+
+  /** Base (pre-suffix) entity name: three vocab words + a unique id token,
+    * optionally followed by `fillerTokens` deterministic per-entity filler
+    * words (long-text mode for scale benchmarks — real span texts are
+    * hundreds of chars, which makes pairwise scoring compute-dominant and
+    * LSH the effective blocking path). Distinct entities share at most two
+    * leading words plus random filler overlap, keeping cross-entity
+    * composite scores below the auto-merge band.
+    */
+  def baseName(entityId: Long, fillerTokens: Int = 0): String = {
     val w1 = vocab((entityId % vocab.size).toInt)
     val w2 = vocab(((entityId / vocab.size) % vocab.size).toInt)
     val w3 = vocab(((entityId / (vocab.size * vocab.size)) % vocab.size).toInt)
-    s"$w1 $w2 $w3 x$entityId"
+    val head = s"$w1 $w2 $w3 x$entityId"
+    if (fillerTokens <= 0) head
+    else {
+      val rng = new Random(entityId * 0x9e3779b97f4a7c15L + 17L)
+      val filler = (0 until fillerTokens).map(_ => fillerVocab(rng.nextInt(fillerVocab.size)))
+      head + " " + filler.mkString(" ")
+    }
   }
 
   private def typoPerturb(name: String, rng: Random): String = {
@@ -64,8 +85,9 @@ object DocGen {
   }
 
   /** The k-th variant of an entity's name (variant 0 = canonical). */
-  def variantName(entityId: Long, variant: Int, seed: Long, minDupScore: Double): String = {
-    val base = baseName(entityId)
+  def variantName(entityId: Long, variant: Int, seed: Long, minDupScore: Double,
+                  fillerTokens: Int = 0): String = {
+    val base = baseName(entityId, fillerTokens)
     val rng = new Random(seed ^ (entityId * 1315423911L + variant * 2654435761L))
     val canonical = base + suffixes((entityId % suffixes.size).toInt)
     if (variant == 0) return canonical
@@ -113,12 +135,12 @@ object DocGen {
 
   /** Generate `entities * docsPerEntity` docs with ground truth. */
   def corpus(entities: Int, docsPerEntity: Int, seed: Long = 42L,
-             minDupScore: Double = 0.93): Seq[TruthDoc] = {
+             minDupScore: Double = 0.93, fillerTokens: Int = 0): Seq[TruthDoc] = {
     for {
       e <- 0 until entities
       v <- 0 until docsPerEntity
     } yield {
-      val name = variantName(e, v, seed, minDupScore)
+      val name = variantName(e, v, seed, minDupScore, fillerTokens)
       val docId = f"doc-${e.toLong * docsPerEntity + v}%09d"
       TruthDoc(docId, e, toSpans(name, e, v, seed))
     }
@@ -130,14 +152,14 @@ object DocGen {
     */
   def corpusDF(spark: SparkSession, entities: Int, docsPerEntity: Int,
                seed: Long = 42L, minDupScore: Double = 0.93,
-               partitions: Int = 32): DataFrame = {
+               partitions: Int = 32, fillerTokens: Int = 0): DataFrame = {
     import spark.implicits._
     spark.range(0, entities.toLong * docsPerEntity, 1, partitions)
       .as[Long]
       .map { i =>
         val e = i / docsPerEntity
         val v = (i % docsPerEntity).toInt
-        val name = variantName(e, v, seed, minDupScore)
+        val name = variantName(e, v, seed, minDupScore, fillerTokens)
         TruthDoc(f"doc-$i%09d", e, toSpans(name, e, v, seed))
       }
       .toDF()

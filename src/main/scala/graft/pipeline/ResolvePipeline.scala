@@ -60,9 +60,12 @@ object ResolvePipeline {
   def run(spark: SparkSession, docs: DataFrame,
           cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
     Er.register(spark)
-    // AQE: runtime coalescing + skew-join splitting for the hot-key
-    // blocking joins (runtime-settable, independent of session builder)
+    // AQE for skew-join splitting on the hot-key blocking joins — but NOT
+    // partition coalescing: the engine's stages are CPU-bound per row
+    // (similarity kernels), and byte-based coalescing collapses them to a
+    // handful of tasks (observed 2-task 8s stages on a 32-core box).
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))
@@ -100,9 +103,13 @@ object ResolvePipeline {
       valid.withColumn("normalized",
         graft.norm.Normalizer.normalizeColumn(col("name"), cfg.entityType))
     }
-    // keep the small projection cached across the key/score joins —
-    // the batch analog of the reference's entity-dim cache (I7)
-    val names = normalized.select("doc_id", "normalized")
+    // keep the small projection materialized across the key/score joins —
+    // the batch analog of the reference's entity-dim cache (I7); consumed
+    // by key generation plus both sides of the scoring join
+    val names = store match {
+      case Some(_) => normalized.select("doc_id", "normalized")
+      case None => normalized.select("doc_id", "normalized").localCheckpoint(true)
+    }
 
     // ---- blocking keys (B1 + B5 + B6): one unified (block_key, doc_id)
     // table as a union of per-strategy key tables (each strategy stays a
@@ -123,8 +130,13 @@ object ResolvePipeline {
         Some(BlockingKeys.minhashKeyTable(names, "doc_id", col("normalized")))
       else None,
     ).flatten
-    val keys = stage("blocking_keys") {
-      keyTables.reduce(_ union _)
+    // The key table is consumed 4x (stats + both sides of the self-join +
+    // block sizing): materialize it once — as the parquet snapshot when
+    // checkpointing, as an eager localCheckpoint otherwise. This also
+    // avoids re-running the minhash shingle hashing per consumer.
+    val keys = store match {
+      case Some(_) => stage("blocking_keys")(keyTables.reduce(_ union _))
+      case None => keyTables.reduce(_ union _).localCheckpoint(true)
     }
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
