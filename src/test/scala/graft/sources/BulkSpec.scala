@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class BulkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("CSV import: header, quoted fields, rejects side output") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("in.csv")
+    Files.writeString(f,
+      "name,type\n\"Acme, Inc.\",COMPANY\nBeta Corp,COMPANY\n\"   \",COMPANY\n")
+    val r = Bulk.importCsv(spark, f.toString)
+    val names = r.rows.collect().map(_.getString(0)).toSet
+    assert(names == Set("Acme, Inc.", "Beta Corp"))
+    val rejects = r.rejects.collect()
+    assert(rejects.length == 1)
+    assert(rejects(0).getAs[String]("reject_reason") == "blank")
+  }
+
+  test("JSONL import") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("in.jsonl")
+    Files.writeString(f, """{"name":"Gamma LLC"}""" + "\n" + """{"name":"Delta GmbH"}""" + "\n")
+    val r = Bulk.importJsonl(spark, f.toString)
+    assert(r.rows.collect().map(_.getAs[String]("name")).toSet == Set("Gamma LLC", "Delta GmbH"))
+    assert(r.rejects.isEmpty)
+  }
+
+  test("intra-batch dedup is case-insensitive on the name key") {
+    import spark.implicits._
+    val df = Seq("Acme", "ACME", " acme ", "Other").toDF("name")
+    assert(Bulk.dedupBatch(df, "name").count() == 2)
+  }
+
+  test("CSV export round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-export").resolve("out")
+    val df = Seq(("a", 1L), ("b,c", 2L)).toDF("name", "n")
+    Bulk.exportCsv(df, dir.toString)
+    val back = spark.read.option("header", "true").csv(dir.toString)
+    assert(back.count() == 2)
+    assert(back.where(org.apache.spark.sql.functions.col("name") === "b,c").count() == 1)
+  }
+}
