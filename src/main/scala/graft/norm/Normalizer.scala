@@ -39,6 +39,8 @@ object Normalizer {
 
   val COMPANY = "COMPANY"
   val PERSON = "PERSON"
+  val DATASET = "DATASET"
+  val TABLE = "TABLE"
 
   val companyRules: Seq[NormRule] = Seq(
     NormRule("company-inc", 10, """,?\s*(Inc\.?|Incorporated)$""", "", Set(COMPANY)),
@@ -74,6 +76,30 @@ object Normalizer {
     NormRule("person-sr", 10, """,?\s+(Sr\.?|Senior)$""", "", Set(PERSON)),
   )
 
+  val SCHEMA = "SCHEMA"
+  val SERVICE = "SERVICE"
+  val API = "API"
+
+  /** N5: metadata-entity rules (rules/MetadataNormalizationRules.java:46-175):
+    * version/final/env/date suffixes for DATASET/TABLE, schema prefixes
+    * for SCHEMA, env suffixes for SERVICE/API, and underscore/hyphen to
+    * space for all metadata types.
+    */
+  val metadataRules: Seq[NormRule] = Seq(
+    NormRule("metadata-version-suffix", 10, """[_\-]v\d+$""", "", Set(DATASET, TABLE)),
+    NormRule("metadata-final-suffix", 10, """[_\-](final|draft)$""", "", Set(DATASET, TABLE)),
+    NormRule("metadata-dataset-env-suffix", 10, """[_\-](prod|dev|staging|test)$""", "", Set(DATASET, TABLE)),
+    NormRule("metadata-date-suffix-full", 10, """[_\-]\d{4}[_\-]?\d{2}[_\-]?\d{2}$""", "", Set(DATASET, TABLE)),
+    NormRule("metadata-date-suffix-year", 15, """[_\-]\d{4}$""", "", Set(DATASET, TABLE)),
+    NormRule("schema-dbo-prefix", 10, """^dbo\.""", "", Set(SCHEMA)),
+    NormRule("schema-public-prefix", 10, """^public\.""", "", Set(SCHEMA)),
+    NormRule("schema-raw-prefix", 10, """^raw\.""", "", Set(SCHEMA)),
+    NormRule("schema-staging-prefix", 10, """^staging\.""", "", Set(SCHEMA)),
+    NormRule("service-env-suffix", 10, """[_\-](dev|staging|prod|production|uat|qa)$""", "", Set(SERVICE, API)),
+    NormRule("metadata-underscores-to-spaces", 50, "_", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API)),
+    NormRule("metadata-hyphens-to-spaces", 50, "-", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API)),
+  )
+
   /** Default engine = company + common rules
     * (rules/DefaultNormalizationRules.java createDefaultEngine), sorted by
     * priority with stable insertion order.
@@ -81,7 +107,7 @@ object Normalizer {
   val defaultRules: Seq[NormRule] = (companyRules ++ commonRules).sortBy(_.priority)
 
   val allRules: Seq[NormRule] =
-    (companyRules ++ personRules ++ commonRules).sortBy(_.priority)
+    (companyRules ++ personRules ++ metadataRules ++ commonRules).sortBy(_.priority)
 
   def rulesFor(entityType: Option[String]): Seq[NormRule] =
     allRules.filter(_.appliesTo(entityType))

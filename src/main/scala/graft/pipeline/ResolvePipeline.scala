@@ -56,9 +56,16 @@ object ResolvePipeline {
     }
   }
 
-  /** Run over a docs table (doc_id string, spans array<struct<...>>). */
+  /** Run over a docs table (doc_id string, spans array<struct<...>>).
+    *
+    * @param overrideEdges D7: human review approvals as extra merge edges
+    *   (src, dst), unioned with the AUTO_MERGE edges before clustering —
+    *   the batch analog of ReviewService.approve triggering a merge
+    *   (review/ReviewService.java:94-140).
+    */
   def run(spark: SparkSession, docs: DataFrame,
-          cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
+          cfg: PipelineConfig = PipelineConfig(),
+          overrideEdges: Option[DataFrame] = None): PipelineResult = {
     Er.register(spark)
     // AQE for skew-join splitting on the hot-key blocking joins — but NOT
     // partition coalescing: the engine's stages are CPU-bound per row
@@ -190,9 +197,13 @@ object ResolvePipeline {
       case None => scoredPlan.localCheckpoint(true)
     }
 
-    // ---- edges (M7/M9) -> connected components (L5/L7) -> clusters
-    val edges = pairScores.where(col("decision") === "AUTO_MERGE")
+    // ---- edges (M7/M9 + D7 overrides) -> connected components -> clusters
+    val autoEdges = pairScores.where(col("decision") === "AUTO_MERGE")
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val edges = overrideEdges match {
+      case Some(o) => autoEdges.union(o.select(col("src"), col("dst")))
+      case None => autoEdges
+    }
     val vertices = valid.select("doc_id")
     val assignments = timed("cc") {
       stage("clusters") {

@@ -92,6 +92,18 @@ class ResolvePipelineSpec extends AnyFunSuite {
       .exceptAll(again.clusters.select("doc_id", "cluster_id")).isEmpty)
   }
 
+  test("D7: review-override edges force a merge the scorer would not") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", Seq(graft.model.Span("text", "alpha industries", "", 0))),
+      ("d2", Seq(graft.model.Span("text", "completely unrelated name", "", 0)))
+    ).toDF("doc_id", "spans")
+    val overrides = Seq(("d1", "d2")).toDF("src", "dst")
+    val res = ResolvePipeline.run(spark, docs, PipelineConfig(), Some(overrides))
+    val clusters = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters("d1") == clusters("d2"), "override edge must merge the pair")
+  }
+
   test("invalid docs go to rejects, not exceptions") {
     import spark.implicits._
     val bad = Seq(
