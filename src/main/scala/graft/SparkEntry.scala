@@ -376,6 +376,45 @@ object SparkEntry {
 
     "q31_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(documents(s, dir), "doc_id", "text", maxHamming = 8)),
+
+    // --- events: windowed aggregation (tumbling hour)
+    "q32_event_windows" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))),
+
+    // --- events: sessionization (gap > 30 min) via window functions
+    "q33_event_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp")) // ts is TIMESTAMP_NTZ; session TZ is UTC
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_us", lag(us, 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            us - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_idx")
+    }),
+
+    // --- events: JSON extraction
+    "q34_event_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // --- events: rollup (grouping sets)
+    "q35_event_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"))),
+
+    // --- events: set ops — users who both clicked and errored
+    "q36_event_setops" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.where(col("event_type") === "click").select("user_id")
+        .intersect(e.where(col("event_type") === "error").select("user_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -577,6 +616,33 @@ object SparkEntry {
            |SELECT doc_id, 'text', c2, '', 2, name FROM named
            |UNION ALL
            |SELECT doc_id, 'text', c3, '', 3, name FROM named""".stripMargin,
+
+      "q32_event_windows" ->
+        s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+           | count(*) AS n, round(sum(value), 6) AS total_value
+           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q33_event_sessions" ->
+        s"""SELECT event_id, user_id,
+           | CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           |FROM (
+           |  SELECT event_id, user_id, ts,
+           |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |            > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+           |  FROM events)""".stripMargin,
+
+      "q34_event_json" ->
+        s"SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM events",
+
+      "q35_event_rollup" ->
+        s"SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)",
+
+      "q36_event_setops" ->
+        s"""SELECT user_id FROM events WHERE event_type = 'click'
+           |INTERSECT
+           |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
     )
   }
 }

@@ -78,12 +78,16 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    // materialize the fingerprints once: they are consumed by BOTH sides
+    // of BOTH band joins (4x otherwise — 30 bit-vote aggregates per eval)
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("__th", BlockingKeys.tokenHashes(toks))
       .withColumn("simhash", BlockingKeys.simhashFromHashes(col("__th")))
       // band on the top 15 bits: near-dups collide in at least one half
       .withColumn("band_hi", shiftright(col("simhash"), 15))
       .withColumn("band_lo", col("simhash") % (1L << 15))
+      .select("doc_id", "simhash", "band_hi", "band_lo")
+      .localCheckpoint(true)
     val l = base.select(col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"),
       col("band_hi").as("bh"), col("band_lo").as("bl"))
     val r = base.select(col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"),

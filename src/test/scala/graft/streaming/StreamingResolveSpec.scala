@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestSession
+
+class StreamingResolveSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming resolve: file source -> exact match against entity dim -> memory sink") {
+    import spark.implicits._
+    // entity dim (static)
+    val dim = Seq((1L, "apple"), (2L, "microsoft")).toDF("entity_id", "normalized")
+
+    // stream input: a directory of parquet files
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Seq(
+      ("d1", "Apple Inc."),
+      ("d2", "Microsoft Corporation"),
+      ("d3", "Unknown Startup LLC"),
+      ("d4", "   ")
+    ).toDF("doc_id", "name").write.mode("overwrite").parquet(dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("name", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    assert(stream.isStreaming)
+
+    val resolved = StreamingResolve.resolveStream(stream, dim)
+    val q = resolved.writeStream
+      .format("memory").queryName("resolved_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("resolved_out").collect()
+      .map(r => r.getString(0) -> (Option(r.get(2)), r.getString(4))).toMap
+    assert(out("d1") == (Some(1L), "AUTO_MERGE"))
+    assert(out("d2") == (Some(2L), "AUTO_MERGE"))
+    assert(out("d3") == (None, "NO_MATCH"))
+    assert(!out.contains("d4"), "blank doc must be rejected from the stream")
+  }
+
+  test("watermarked windowed decision counts run to completion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    Seq(
+      ("d1", "apple", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      ("d2", "apple", java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
+      ("d3", "pear", java.sql.Timestamp.valueOf("2024-01-01 01:20:00"))
+    ).toDF("doc_id", "name", "ts").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("name", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // decisions computed on the stream itself (watermark needs an
+    // event-time column originating from the streaming side)
+    val decided = stream.withColumn("decision",
+      when(col("name") === "apple", "AUTO_MERGE").otherwise("NO_MATCH"))
+    val windowed = StreamingResolve.windowedDecisionCounts(decided, "ts")
+    val q = windowed.writeStream
+      .format("memory").queryName("windowed_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("windowed_out").collect()
+    assert(rows.map(_.getLong(2)).sum == 3)
+  }
+}
