@@ -32,19 +32,58 @@ object CandidateGenerator {
       droppedKeyRows: Long)
 
   /** Distinct candidate pairs (doc_id_a < doc_id_b) from a (block_key,
-    * doc_id) table, with oversized blocks dropped.
+    * doc_id) table.
+    *
+    * Skew policy, in order:
+    *  - blocks with n <= maxBlockSize: plain self-equi-join;
+    *  - blocks with maxBlockSize < n <= saltedMaxBlockSize: SALTED pair
+    *    generation — each doc gets salt = pmod(hash(doc_id), s); the left
+    *    side is replicated once per target salt bucket and the join key
+    *    becomes (block_key, salt-bucket), so one hot key's n^2/2 pairs are
+    *    spread over s tasks instead of landing in one. The pair SET is
+    *    identical to the unsalted join (salting distributes work, it
+    *    cannot reduce it — a hot key's pairs exist either way);
+    *  - blocks with n > saltedMaxBlockSize: dropped (quadratic blowup
+    *    guard), surfaced via [[stats]] — no silent truncation.
+    *
+    * Defaults keep salting off (saltedMaxBlockSize = maxBlockSize); raise
+    * it where hot keys must be kept rather than dropped.
     */
-  def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000): DataFrame = {
+  def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000,
+                     saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame = {
+    val saltedMax = if (saltedMaxBlockSize < maxBlockSize) maxBlockSize else saltedMaxBlockSize
     val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n"))
-    val kept = keys.join(
+
+    val small = keys.join(
       sized.where(col("block_n") <= maxBlockSize).select("block_key"),
       Seq("block_key"))
-    val l = kept.select(col("block_key"), col("doc_id").as("doc_id_a"))
-    val r = kept.select(col("block_key"), col("doc_id").as("doc_id_b"))
-    l.join(r, Seq("block_key"))
+    val l = small.select(col("block_key"), col("doc_id").as("doc_id_a"))
+    val r = small.select(col("block_key"), col("doc_id").as("doc_id_b"))
+    val smallPairs = l.join(r, Seq("block_key"))
       .where(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
-      .distinct()
+
+    val pairs =
+      if (saltedMax == maxBlockSize) smallPairs
+      else {
+        val hot = keys.join(
+          sized.where(col("block_n") > maxBlockSize && col("block_n") <= saltedMax)
+            .select("block_key"),
+          Seq("block_key"))
+        val s = saltBuckets
+        // left replicated per target bucket; right keyed by its own salt
+        val hl = hot
+          .withColumn("__sb", explode(sequence(lit(0), lit(s - 1))))
+          .select(col("block_key"), col("__sb"), col("doc_id").as("doc_id_a"))
+        val hr = hot
+          .withColumn("__sb", pmod(xxhash64(col("doc_id")), lit(s.toLong)).cast("int"))
+          .select(col("block_key"), col("__sb"), col("doc_id").as("doc_id_b"))
+        val hotPairs = hl.join(hr, Seq("block_key", "__sb"))
+          .where(col("doc_id_a") < col("doc_id_b"))
+          .select("doc_id_a", "doc_id_b")
+        smallPairs.union(hotPairs)
+      }
+    pairs.distinct()
   }
 
   /** Block-size metrics for lineage/monitoring (dropped keys are a

@@ -1,0 +1,53 @@
+package graft.pairs
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CandidateGeneratorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def keysDF(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    rows.toDF("block_key", "doc_id")
+  }
+
+  test("pairs are distinct and canonical (a < b) across shared keys") {
+    val keys = keysDF(Seq(
+      ("k1", "a"), ("k1", "b"), ("k1", "c"),
+      ("k2", "b"), ("k2", "c"))) // (b,c) shared by both keys -> once
+    val pairs = CandidateGenerator.candidatePairs(keys)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("oversized blocks are dropped and reported") {
+    val keys = keysDF(
+      (1 to 50).map(i => ("hot", f"d$i%03d")) ++ Seq(("cold", "x"), ("cold", "y")))
+    val pairs = CandidateGenerator.candidatePairs(keys, maxBlockSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y")))
+    val st = CandidateGenerator.stats(keys, maxBlockSize = 10)
+    assert(st.oversizedKeys == 1 && st.droppedKeyRows == 50)
+  }
+
+  test("salted pair generation produces the exact same pair set as unsalted") {
+    val keys = keysDF((1 to 60).map(i => ("hot", f"d$i%03d")))
+    val unsalted = CandidateGenerator.candidatePairs(keys, maxBlockSize = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(unsalted.size == 60 * 59 / 2)
+    val salted = CandidateGenerator.candidatePairs(
+        keys, maxBlockSize = 10, saltedMaxBlockSize = 1000, saltBuckets = 7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == unsalted, "salting must distribute work, not change the pair set")
+  }
+
+  test("salted mode still drops blocks above the hard cap") {
+    val keys = keysDF((1 to 60).map(i => ("hot", f"d$i%03d")) ++ Seq(("c", "x"), ("c", "y")))
+    val pairs = CandidateGenerator.candidatePairs(
+        keys, maxBlockSize = 10, saltedMaxBlockSize = 50, saltBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("x", "y")))
+  }
+}
