@@ -8,9 +8,9 @@ import graft.pipeline.{PipelineConfig, ResolvePipeline}
 
 /** Benchmark entry: times every SparkEntry query at the given SF, then
   * runs the north-rule scaling evidence — the identical generated-corpus
-  * clustering job at two parallelism levels (local[8] vs local[32], the
+  * clustering job at two parallelism levels (local[N] vs local[4N], the
   * sandbox stand-in for N vs 4N executors) reporting docs/sec,
-  * candidate-pairs-scored/sec and scaling efficiency = (T_8 / T_32) / 4.
+  * candidate-pairs-scored/sec and scaling efficiency = (T_N / T_4N) / 4.
   *
   * Prints ONE JSON line:
   * {"metric":"total","value":...,"unit":"sec","queries":{...},"sf":...,
@@ -42,7 +42,7 @@ object Bench {
     * end-to-end. Returns (seconds, docs, pairsScored).
     */
   private def scalingRun(spark: SparkSession, entities: Int, docsPerEntity: Int): (Double, Long, Long) = {
-    val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "56").toInt
+    val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "64").toInt
     // Materialize the input BEFORE the timer: generating the synthetic
     // corpus is not part of the job being measured (a real input table is
     // read from storage), and a lazy generator would otherwise re-run

@@ -409,6 +409,20 @@ object SparkEntry {
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("n"))),
 
+    // --- S7: feature-hash embedding cosine comparator on consecutive pairs
+    "q37_feature_cosine" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+      val d = documents(s, dir)
+        .withColumn("__v", Er.featureHashVector(toks))
+        .select(col("doc_id"), col("__v"))
+      val l = d.select(col("doc_id").as("doc_id_a"), col("__v").as("va"))
+      val r = d.select((col("doc_id") - 1).as("doc_id_a"),
+        col("doc_id").as("doc_id_b"), col("__v").as("vb"))
+      l.join(r, Seq("doc_id_a"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(Ann.cosine(col("va"), col("vb")), 6).as("cosine"))
+    }),
+
     // --- events: set ops — users who both clicked and errored
     "q36_event_setops" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -643,6 +657,18 @@ object SparkEntry {
         s"""SELECT user_id FROM events WHERE event_type = 'click'
            |INTERSECT
            |SELECT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+
+      "q37_feature_cosine" -> {
+        val th = s"list_transform(${O.lowerTokens("text")}, t -> ${O.rollingHash("t")})"
+        val buckets = (0 until 16).map { i =>
+          s"list_sum(list_transform($th, h -> CASE WHEN h % 16 = $i THEN (CASE WHEN (h >> 4) % 2 = 0 THEN 1.0 ELSE -1.0 END) ELSE 0.0 END))"
+        }
+        val vec = s"[ ${buckets.mkString(", ")} ]"
+        s"""WITH v AS (SELECT doc_id, CAST($vec AS DOUBLE[]) AS vv FROM documents)
+           |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           | round(${O.cosine("a.vv", "b.vv")}, 6) AS cosine
+           |FROM v a JOIN v b ON b.doc_id = a.doc_id + 1""".stripMargin
+      },
     )
   }
 }

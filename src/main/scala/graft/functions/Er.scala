@@ -103,6 +103,25 @@ object Er {
     array_join(texts, " ")
   }
 
+  /** S7 (north-star "embedding-cosine comparator"): a deterministic
+    * feature-hashed token embedding — no external models in a zero-egress
+    * build. Each token's rolling hash votes +-1 into bucket
+    * (hash mod dim); the sign comes from the next hash bit. Cosine between
+    * these vectors is a token-distribution comparator that, unlike
+    * Jaccard, weights repeated tokens.
+    */
+  def featureHashVector(tokensCol: Column, dimBits: Int = 4): Column = {
+    val dim = 1 << dimBits // power of two: bucket/sign via integer bit ops
+    val th = graft.blocking.BlockingKeys.tokenHashes(tokensCol)
+    val buckets = (0 until dim).map { i =>
+      aggregate(th, lit(0.0), (acc, h) =>
+        acc + when((h % dim.toLong) === i.toLong,
+          when((shiftright(h, dimBits) % 2L) === 0L, lit(1.0)).otherwise(lit(-1.0)))
+          .otherwise(lit(0.0)))
+    }
+    array(buckets: _*)
+  }
+
   /** N8: input validation — reject null/blank, >1000 chars, control chars
     * 0x00-0x1F (except \t\n\r) or 0x7F (graph/InputSanitizer.java:27-39,78-89).
     * Returns a reject-reason column (null = valid) so bad rows become a

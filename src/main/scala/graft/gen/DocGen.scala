@@ -91,14 +91,20 @@ object DocGen {
     val rng = new Random(seed ^ (entityId * 1315423911L + variant * 2654435761L))
     val canonical = base + suffixes((entityId % suffixes.size).toInt)
     if (variant == 0) return canonical
-    val candidate = variant % 4 match {
-      case 1 => base + suffixes(rng.nextInt(suffixes.size)) // suffix swap
-      case 2 => // case/whitespace noise (normalize-identical)
-        val spaced = canonical.map(c => if (rng.nextBoolean()) c.toUpper else c)
-        "  " + spaced.replace(" ", "   ") + " "
-      case 3 => typoPerturb(base, rng) + suffixes((entityId % suffixes.size).toInt)
-      case _ => canonical
-    }
+    val candidate =
+      if (fillerTokens > 0) {
+        // long-text mode: every duplicate is a typo variant (distinct
+        // after normalization), so exact-pregrouping cannot collapse the
+        // fuzzy-scoring workload the scale benchmark measures
+        typoPerturb(base, rng) + suffixes((entityId % suffixes.size).toInt)
+      } else variant % 4 match {
+        case 1 => base + suffixes(rng.nextInt(suffixes.size)) // suffix swap
+        case 2 => // case/whitespace noise (normalize-identical)
+          val spaced = canonical.map(c => if (rng.nextBoolean()) c.toUpper else c)
+          "  " + spaced.replace(" ", "   ") + " "
+        case 3 => typoPerturb(base, rng) + suffixes((entityId % suffixes.size).toInt)
+        case _ => canonical
+      }
     val ok = CompositeScorer.score(
       Normalizer.normalize(candidate), Normalizer.normalize(canonical),
       SimilarityWeights.default) >= minDupScore

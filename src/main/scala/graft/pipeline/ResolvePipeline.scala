@@ -30,9 +30,18 @@ final case class PipelineConfig(
     thresholds: Thresholds = Thresholds(),
     entityType: Option[String] = Some(graft.norm.Normalizer.COMPANY),
     maxBlockSize: Int = 1000,
+    saltedMaxBlockSize: Int = -1,
     useDefaultKeys: Boolean = true,
     useSortedNeighborhoodKeys: Boolean = true,
     useMinHashLsh: Boolean = true,
+    /** L1 fast path (SURVEY §4): group identical normalized names first
+      * and run blocking/scoring/clustering on one representative per
+      * group. Provably output-equivalent: identical names share every
+      * blocking key and short-circuit to score 1.0, so a group always
+      * auto-merges; at corpus scale exact duplicates are the bulk of the
+      * data and never enter the quadratic pair space.
+      */
+    exactPregroup: Boolean = true,
     checkpointRoot: Option[String] = None,
     numShufflePartitions: Option[Int] = None)
 
@@ -89,7 +98,8 @@ object ResolvePipeline {
     val cfgFp = Seq(
       inputFp,
       cfg.weights.toString, cfg.thresholds.toString, cfg.entityType.toString,
-      cfg.maxBlockSize.toString, cfg.useDefaultKeys.toString,
+      cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString,
+      cfg.exactPregroup.toString, cfg.useDefaultKeys.toString,
       cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString).mkString("|")
     def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
       store match {
@@ -113,10 +123,25 @@ object ResolvePipeline {
     // keep the small projection materialized across the key/score joins —
     // the batch analog of the reference's entity-dim cache (I7); consumed
     // by key generation plus both sides of the scoring join
-    val names = store match {
+    val allNames = store match {
       case Some(_) => normalized.select("doc_id", "normalized")
       case None => normalized.select("doc_id", "normalized").localCheckpoint(true)
     }
+
+    // ---- L1 exact-match fast path: one representative (min doc_id) per
+    // identical normalized name; members re-attach to their rep's cluster
+    // at the end. Output-equivalent (see PipelineConfig.exactPregroup).
+    val (names, repMap) =
+      if (cfg.exactPregroup) {
+        val reps = stage("exact_groups") {
+          allNames.groupBy("normalized").agg(min("doc_id").as("doc_id"))
+            .select("doc_id", "normalized")
+        }
+        val m = allNames
+          .join(reps.select(col("normalized"), col("doc_id").as("rep")), Seq("normalized"))
+          .select(col("doc_id"), col("rep"))
+        (reps, Some(m))
+      } else (allNames, None)
 
     // ---- blocking keys (B1 + B5 + B6): one unified (block_key, doc_id)
     // table as a union of per-strategy key tables (each strategy stays a
@@ -149,7 +174,7 @@ object ResolvePipeline {
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
     val candStats = timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
     val pairs = stage("candidate_pairs") {
-      CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize)
+      CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }
 
     // ---- pairwise scoring (S1-S5) with full breakdown (D3: one row per
@@ -204,18 +229,33 @@ object ResolvePipeline {
       case Some(o) => autoEdges.union(o.select(col("src"), col("dst")))
       case None => autoEdges
     }
-    val vertices = valid.select("doc_id")
-    val assignments = timed("cc") {
+    val vertices = names.select("doc_id")
+    val repAssignments = timed("cc") {
       stage("clusters") {
         ConnectedComponents.run(spark, edges, vertices)
       }
+    }
+
+    // expand representative clusters back to every member
+    val assignments = repMap match {
+      case Some(m) =>
+        m.join(repAssignments.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"))
+          .select("doc_id", "cluster_id")
+      case None => repAssignments
     }
 
     // ---- re-attach spans untouched (per-row invariant)
     val clusters = assignments.join(docs.select("doc_id", "spans"), Seq("doc_id"))
       .select("doc_id", "cluster_id", "spans")
 
+    // D8 counters; exact-group collapses are reported as EXACT_MERGE
+    // (the reference counts exact-match resolves separately from fuzzy
+    // auto-merges, api/BatchContext.java:268-278)
+    val exactMerges = repMap
+      .map(m => m.where(col("doc_id") =!= col("rep")).count())
+      .getOrElse(0L)
     val metrics = Decisions.decisionCounts(pairScores)
+      .union(spark.createDataFrame(Seq(("EXACT_MERGE", exactMerges))).toDF("decision", "n"))
     PipelineResult(clusters, pairScores, rejects, metrics, candStats)
   }
 }

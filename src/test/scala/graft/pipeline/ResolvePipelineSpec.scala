@@ -80,16 +80,28 @@ class ResolvePipelineSpec extends AnyFunSuite {
       "span sequences were not preserved exactly")
   }
 
-  test("no rejects on the clean corpus; decision metrics exist") {
+  test("no rejects on the clean corpus; merge metrics exist") {
     assert(result.rejects.isEmpty)
-    val decisions = result.metrics.collect().map(_.getString(0)).toSet
-    assert(decisions.contains("AUTO_MERGE"))
+    val m = result.metrics.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // duplicates merge either as exact-group collapses or fuzzy auto-merges
+    assert(m.getOrElse("EXACT_MERGE", 0L) + m.getOrElse("AUTO_MERGE", 0L) > 0,
+      s"expected merges in metrics, got $m")
   }
 
   test("deterministic across reruns") {
     val again = ResolvePipeline.run(spark, truthDocs.select("doc_id", "spans"))
     assert(result.clusters.select("doc_id", "cluster_id")
       .exceptAll(again.clusters.select("doc_id", "cluster_id")).isEmpty)
+  }
+
+  test("exact-pregroup fast path is output-equivalent to the full pipeline") {
+    val docs = truthDocs.select("doc_id", "spans")
+    val on = ResolvePipeline.run(spark, docs, PipelineConfig(exactPregroup = true))
+      .clusters.select("doc_id", "cluster_id")
+    val off = ResolvePipeline.run(spark, docs, PipelineConfig(exactPregroup = false))
+      .clusters.select("doc_id", "cluster_id")
+    assert(on.exceptAll(off).isEmpty && off.exceptAll(on).isEmpty,
+      "pregrouped clusters must match the full computation exactly")
   }
 
   test("D7: review-override edges force a merge the scorer would not") {
