@@ -75,8 +75,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // ---- scaling evidence FIRST: same job, same input, local[N] vs
+    // local[4N] in a clean heap. Running the 37-query sweep before the
+    // scaling pair was measured to cost the 4N run ~40% (block-manager /
+    // GC garbage from the sweep piles onto the scaling runs when they
+    // share the JVM: driver-recorded 417 s vs 239 s in a fresh JVM for
+    // the identical local[16] run). Scaling runs go first, and each run
+    // gets a fresh session + an explicit GC so the pair is measured
+    // under the same heap conditions.
+    // (N=4: a 4N=16-thread run still has headroom on the 32-core box, so
+    // the comparison measures the ENGINE's scalability rather than the
+    // single host's memory-bandwidth ceiling — which a real 4N-node
+    // cluster would not share)
+    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "20000").toInt
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    val docsPer = 4
+    var spark = freshSession(nCores)
+    val (tN, docsN, pairsN) = scalingRun(spark, scaleEntities, docsPer)
+    System.gc()
+    spark = freshSession(nCores * 4)
+    val (t4N, _, pairs4N) = scalingRun(spark, scaleEntities, docsPer)
+    val efficiency = (tN / t4N) / 4.0
+    System.gc()
+
     // ---- per-query timings at the requested SF
-    var spark = freshSession(cpus)
+    spark = freshSession(cpus)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -86,20 +109,6 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-
-    // ---- scaling evidence: same job, same input, local[N] vs local[4N]
-    // (N=4: a 4N=16-thread run still has headroom on the 32-core box, so
-    // the comparison measures the ENGINE's scalability rather than the
-    // single host's memory-bandwidth ceiling — which a real 4N-node
-    // cluster would not share)
-    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "20000").toInt
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
-    val docsPer = 4
-    spark = freshSession(nCores)
-    val (tN, docsN, pairsN) = scalingRun(spark, scaleEntities, docsPer)
-    spark = freshSession(nCores * 4)
-    val (t4N, _, pairs4N) = scalingRun(spark, scaleEntities, docsPer)
-    val efficiency = (tN / t4N) / 4.0
     val scaling =
       f"""{"docs":$docsN,"pairs_scored":$pairs4N,"n_cores":$nCores,
          |"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,

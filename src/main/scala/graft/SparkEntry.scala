@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.ann.Ann
+import graft.audit.Audit
 import graft.blocking.BlockingKeys
 import graft.cluster.ConnectedComponents
 import graft.decide.Decisions
@@ -17,7 +18,10 @@ import graft.norm.Normalizer
 import graft.oracle.OracleSql
 import graft.pairs.CandidateGenerator
 import graft.pipeline.{PipelineConfig, ResolvePipeline}
+import graft.relations.Relationships
+import graft.review.Review
 import graft.sim.SimilarityWeights
+import graft.synonyms.Synonyms
 import graft.text.TextAnalysis
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2,
@@ -106,6 +110,55 @@ object SparkEntry {
             lit("").as("media_ref"), lit(3).as("offset"))
         ).as("spans"))
   }
+
+  /** Mention table for the synonym lifecycle: raw first-6-token value,
+    * its normalized form, the exact-match entity (min doc_id per
+    * normalized name) and the ingest sequence (doc_id as event time).
+    */
+  private def mentions(s: SparkSession, dir: String): DataFrame = {
+    val value6 = array_join(slice(split(col("text"), "\\s+"), 1, 6), " ")
+    val w = Window.partitionBy(col("normalized"))
+    documents(s, dir)
+      .withColumn("value", value6)
+      .withColumn("normalized", Normalizer.normalizeColumn(col("text")))
+      .withColumn("normalized", array_join(slice(split(col("normalized"), " "), 1, 6), " "))
+      .where(col("normalized") =!= "")
+      .withColumn("entity_id", min(col("doc_id")).over(w))
+      .select(col("doc_id").as("seq"), col("value"), col("normalized"), col("entity_id"))
+  }
+
+  private def synonymsDF(s: SparkSession, dir: String): DataFrame =
+    Synonyms.fromMentions(mentions(s, dir), source = "IMPORT")
+
+  /** Library-relationship fixture derived deterministically from doc ids
+    * (the testdata has no relationship table; same construction as q14).
+    */
+  private def relsDF(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      concat(lit("r"), col("doc_id")).as("rel_id"),
+      col("doc_id").as("src"),
+      (col("doc_id") * 7) % 500 as "dst",
+      when(col("doc_id") % 3 === 0, "PARTNER")
+        .when(col("doc_id") % 3 === 1, "SUPPLIER")
+        .otherwise("COMPETITOR").as("rel_type"),
+      col("doc_id").as("created_seq"),
+      lit("loader").as("created_by"))
+
+  /** Review queue fixture: REVIEW-band scored pairs with a deterministic
+    * decision split — (a+b) % 3: 0 APPROVED, 1 REJECTED, 2 PENDING.
+    */
+  private def reviewItemsDF(s: SparkSession, dir: String): DataFrame = {
+    val queue = Review.queueFromScores(
+      scoredDF(s, dir).withColumn("decision", Decisions.decide(col("score"))))
+    queue.withColumn("status",
+      when((col("src") + col("dst")) % 3 === 0, "APPROVED")
+        .when((col("src") + col("dst")) % 3 === 1, "REJECTED")
+        .otherwise("PENDING"))
+  }
+
+  // money sums: exact integer cents — sums of raw doubles are
+  // partial-agg-order-dependent and can never hash-match an oracle
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
 
   // ------------------------------------------------------------------
   // oracle SQL shared CTE prefix (DuckDB dialect)
@@ -366,10 +419,11 @@ object SparkEntry {
     }),
 
     "q30_media_features" -> ((s, dir) => {
+      // decode + features in ONE per-partition pass over one synthesis
+      // of the media table (separate decode/extract operators re-ran the
+      // synthesis per consumer and paid a join to reunite the halves)
       val media = Multimodal.synthesizeMedia(s, spanDocs(s, dir))
-      val meta = Multimodal.decode(media)
-      val feats = Multimodal.extractFeatures(media)
-      meta.toDF().join(feats.toDF().select(col("media_ref"), col("features")), Seq("media_ref"))
+      Multimodal.decodeWithFeatures(media)
         .select(col("doc_id"), col("media_ref"), col("kind"), col("size_bytes"),
           col("width"), col("height"), size(col("features")).as("n_features"))
     }),
@@ -428,6 +482,194 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/events.parquet")
       e.where(col("event_type") === "click").select("user_id")
         .intersect(e.where(col("event_type") === "error").select("user_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // relational surface over the TPC-H star schema: fact scans with
+    // pushed filters, broadcast fact-dim joins, multi-way joins,
+    // semi/anti joins, windowed top-k. Money is aggregated as exact
+    // integer cents (sum of raw doubles is partial-agg-order-dependent).
+    // ------------------------------------------------------------------
+
+    // --- pricing summary: filtered fact scan + partial-agg groupBy
+    "q38_pricing_summary" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("2000-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("disc_cents"),
+          count(lit(1)).as("count_order"))),
+
+    // --- revenue by nation: orders ⋈ customer ⋈ broadcast(nation)
+    "q39_nation_revenue" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    }),
+
+    // --- 5-way join: lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation ⋈ region)
+    "q40_region_year_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val dims = nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- brand × supplier-nation revenue: fact ⋈ broadcast(part) ⋈
+    //     broadcast(supplier ⋈ nation)
+    "q41_brand_supplier" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val sn = supp.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- order-priority check: left-semi join with residual condition
+    "q42_priority_semi" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      orders.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // --- customers with no urgent orders: left-anti join
+    "q43_anti_join" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // --- top-3 orders per customer: partitioned window top-k
+    "q44_top_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // ------------------------------------------------------------------
+    // synonym lifecycle (M2/M3/M4/L9), merge history + audit (L6/L10),
+    // review workflow (D7/D9), relationships (L8/L12), type guard (M9)
+    // ------------------------------------------------------------------
+
+    // --- M2: synonym table built from resolved mentions
+    "q45_synonyms" -> ((s, dir) => synonymsDF(s, dir)),
+
+    // --- M3: reinforcement with a new mention batch (every 3rd doc)
+    "q46_synonym_reinforce" -> ((s, dir) => {
+      val batch = mentions(s, dir).where(col("seq") % 3 === 0)
+        .select(col("entity_id"), col("normalized"), (col("seq") + 1000000L).as("seq"))
+      Synonyms.reinforce(synonymsDF(s, dir), batch)
+    }),
+
+    // --- M4: join-update of confidence for well-supported synonyms
+    "q47_synonym_confidence" -> ((s, dir) => {
+      val syn = synonymsDF(s, dir)
+      val updates = syn.where(col("support_count") >= 3)
+        .select(col("entity_id"), col("normalized"),
+          least(lit(1.0), col("confidence") + col("support_count") * lit(0.02))
+            .as("new_confidence"))
+      Synonyms.updateConfidence(syn, updates)
+    }),
+
+    // --- L6: merge history per target, most recent first
+    "q48_merge_history" -> ((s, dir) => {
+      val edges = scoredDF(s, dir).where(col("score") >= CcThreshold)
+        .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst"),
+          col("score").as("confidence"), lit("AUTO_MERGE").as("reason"),
+          col("doc_id_b").as("merged_seq"))
+      Audit.mergeHistory(edges)
+    }),
+
+    // --- L10: cursor-paginated audit trail (first page per entity)
+    "q49_audit_cursor" -> ((s, dir) => {
+      val audit = s.read.parquet(s"$dir/events.parquet").select(
+        col("event_id").as("audit_id"), col("event_type").as("action"),
+        col("user_id").as("entity_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_seq"))
+      val cursor = audit.agg(min(col("ts_seq"))).collect()(0).getLong(0)
+      Audit.auditFirstPagePerEntity(audit, cursor, pageSize = 5)
+    }),
+
+    // --- D9: pending-review stats by type and score decile (on the
+    //     freshly-built queue: every item starts PENDING)
+    "q50_review_stats" -> ((s, dir) => Review.pendingStats(
+      Review.queueFromScores(
+        scoredDF(s, dir).withColumn("decision", Decisions.decide(col("score")))))),
+
+    // --- D7 as data: review decisions applied — approved edges +
+    //     rejection penalties in one decision table
+    "q51_review_decisions" -> ((s, dir) =>
+      reviewItemsDF(s, dir).select(
+        col("review_id"), col("src"), col("dst"), col("status"), col("score"),
+        when(col("status") === "REJECTED",
+          Er.negativeReinforce(col("score"), lit(0.1))).as("penalized_score"))),
+
+    // --- L12: per-entity relationship counts by direction and type
+    "q52_rel_counts" -> ((s, dir) => Relationships.countsPerEntity(relsDF(s, dir))),
+
+    // --- L8: relationship lookup (source | target | either | between)
+    "q53_rel_lookup" -> ((s, dir) =>
+      Relationships.byEither(relsDF(s, dir), lit(42L))
+        .select("rel_id", "src", "dst", "rel_type")),
+
+    // --- B5: sorted-neighborhood blocking keys (previously unit-only)
+    "q55_sorted_neighborhood" -> ((s, dir) =>
+      nonBlank(s, dir).select(col("doc_id"),
+        BlockingKeys.sortedNeighborhoodKey(col("n")).as("sn_key"))
+        .where(col("sn_key").isNotNull)),
+
+    // --- M9: type-aware merge guard — same type + both ACTIVE
+    "q54_merge_guard" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 50 === 0, "MERGED").otherwise("ACTIVE").as("status"))
+      val a = d.select(col("doc_id").as("doc_id_a"), col("lang").as("lang_a"),
+        col("status").as("status_a"))
+      val b = d.select(col("doc_id").as("doc_id_b"), col("lang").as("lang_b"),
+        col("status").as("status_b"))
+      scoredDF(s, dir).select("doc_id_a", "doc_id_b", "score")
+        .join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          col("lang_a"), col("lang_b"),
+          (col("lang_a") === col("lang_b") &&
+            col("status_a") === "ACTIVE" && col("status_b") === "ACTIVE" &&
+            col("score") >= CcThreshold).as("can_merge"))
     }),
   )
 
@@ -669,6 +911,191 @@ object SparkEntry {
            | round(${O.cosine("a.vv", "b.vv")}, 6) AS cosine
            |FROM v a JOIN v b ON b.doc_id = a.doc_id + 1""".stripMargin
       },
+
+      // ---- relational surface (exact integer cents; see `cents`)
+
+      "q38_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+           | count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+           |GROUP BY 1, 2""".stripMargin,
+
+      "q39_nation_revenue" ->
+        s"""SELECT n_name, count(*) AS n_orders,
+           | count(DISTINCT c_custkey) AS n_customers,
+           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1""".stripMargin,
+
+      "q40_region_year_revenue" ->
+        s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           | count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2""".stripMargin,
+
+      "q41_brand_supplier" ->
+        s"""SELECT p_brand, n_name,
+           | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           | count(*) AS n_items
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY 1, 2""".stripMargin,
+
+      "q42_priority_semi" ->
+        s"""SELECT o_orderpriority, count(*) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-07-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey
+           |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY 1""".stripMargin,
+
+      "q43_anti_join" ->
+        s"""SELECT c_mktsegment, count(*) AS n_customers
+           |FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderpriority = '1-URGENT')
+           |GROUP BY 1""".stripMargin,
+
+      "q44_top_orders" ->
+        s"""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey
+           |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+      // ---- synonym lifecycle / audit / review / relationships / guard
+
+      "q45_synonyms" ->
+        s"""${O.mentionsCte(name6Sql)}
+           |SELECT normalized, min("value") AS "value", entity_id,
+           | 'IMPORT' AS source, CAST(0.8 AS DOUBLE) AS confidence,
+           | count(*) AS support_count,
+           | min(seq) AS created_seq, max(seq) AS last_confirmed_seq
+           |FROM m GROUP BY normalized, entity_id""".stripMargin,
+
+      "q46_synonym_reinforce" ->
+        s"""${O.mentionsCte(name6Sql)},
+           |syn AS (SELECT normalized, min("value") AS "value", entity_id,
+           |        'IMPORT' AS source, CAST(0.8 AS DOUBLE) AS confidence,
+           |        count(*) AS support_count,
+           |        min(seq) AS created_seq, max(seq) AS last_confirmed_seq
+           |        FROM m GROUP BY normalized, entity_id),
+           |delta AS (SELECT entity_id, normalized, count(*) AS dn,
+           |          max(seq + 1000000) AS dseq
+           |          FROM m WHERE seq % 3 = 0 GROUP BY 1, 2)
+           |SELECT s.normalized, s."value", s.entity_id, s.source, s.confidence,
+           | s.support_count + coalesce(d.dn, 0) AS support_count,
+           | s.created_seq,
+           | greatest(s.last_confirmed_seq, coalesce(d.dseq, s.last_confirmed_seq)) AS last_confirmed_seq
+           |FROM syn s LEFT JOIN delta d
+           |  ON d.entity_id = s.entity_id AND d.normalized = s.normalized""".stripMargin,
+
+      "q47_synonym_confidence" ->
+        s"""${O.mentionsCte(name6Sql)},
+           |syn AS (SELECT normalized, min("value") AS "value", entity_id,
+           |        'IMPORT' AS source, CAST(0.8 AS DOUBLE) AS confidence,
+           |        count(*) AS support_count,
+           |        min(seq) AS created_seq, max(seq) AS last_confirmed_seq
+           |        FROM m GROUP BY normalized, entity_id)
+           |SELECT normalized, "value", entity_id, source,
+           | CASE WHEN support_count >= 3
+           |      THEN least(CAST(1.0 AS DOUBLE), confidence + support_count * CAST(0.02 AS DOUBLE))
+           |      ELSE confidence END AS confidence,
+           | support_count, created_seq, last_confirmed_seq
+           |FROM syn""".stripMargin,
+
+      "q48_merge_history" ->
+        s"""${ctes("scores")}
+           |SELECT doc_id_a AS entity_id, doc_id_b AS merged_from,
+           | score AS confidence, 'AUTO_MERGE' AS reason,
+           | doc_id_b AS merged_seq,
+           | row_number() OVER (PARTITION BY doc_id_a
+           |   ORDER BY doc_id_b DESC, doc_id_b ASC) AS history_rank
+           |FROM sc WHERE score >= $CcThreshold""".stripMargin,
+
+      "q49_audit_cursor" ->
+        s"""WITH a AS (SELECT event_id AS audit_id, event_type AS action,
+           |           user_id AS entity_id, epoch_us(ts) AS ts_seq FROM events),
+           |c AS (SELECT min(ts_seq) AS cur FROM a)
+           |SELECT audit_id, action, entity_id, ts_seq, page_rank FROM (
+           |  SELECT audit_id, action, entity_id, ts_seq,
+           |         row_number() OVER (PARTITION BY entity_id
+           |           ORDER BY ts_seq ASC, audit_id ASC) AS page_rank
+           |  FROM a, c WHERE ts_seq > cur)
+           |WHERE page_rank <= 5""".stripMargin,
+
+      "q50_review_stats" ->
+        s"""${ctes("scores")}
+           |SELECT 'COMPANY' AS entity_type,
+           | CAST(floor(score * 10) AS INT) AS score_decile,
+           | count(*) AS pending, min(score) AS min_score, max(score) AS max_score
+           |FROM sc
+           |WHERE ${O.decide("score")} = 'REVIEW'
+           |GROUP BY 1, 2""".stripMargin,
+
+      "q51_review_decisions" ->
+        s"""${ctes("scores")}
+           |SELECT concat('rev:', doc_id_a, ':', doc_id_b) AS review_id,
+           | doc_id_a AS src, doc_id_b AS dst,
+           | CASE WHEN (doc_id_a + doc_id_b) % 3 = 0 THEN 'APPROVED'
+           |      WHEN (doc_id_a + doc_id_b) % 3 = 1 THEN 'REJECTED'
+           |      ELSE 'PENDING' END AS status,
+           | score,
+           | CASE WHEN (doc_id_a + doc_id_b) % 3 = 1
+           |      THEN greatest(0.0, score - abs(0.1)) END AS penalized_score
+           |FROM sc WHERE ${O.decide("score")} = 'REVIEW'""".stripMargin,
+
+      "q52_rel_counts" ->
+        s"""WITH rels AS (${O.relsSql}),
+           |d AS (SELECT src AS entity_id, rel_type, count(*) AS outgoing, 0 AS incoming
+           |      FROM rels GROUP BY 1, 2
+           |      UNION ALL
+           |      SELECT dst AS entity_id, rel_type, 0 AS outgoing, count(*) AS incoming
+           |      FROM rels GROUP BY 1, 2)
+           |SELECT entity_id, rel_type, sum(outgoing) AS outgoing,
+           | sum(incoming) AS incoming, sum(outgoing) + sum(incoming) AS total
+           |FROM d GROUP BY 1, 2""".stripMargin,
+
+      "q53_rel_lookup" ->
+        s"""WITH rels AS (${O.relsSql})
+           |SELECT rel_id, src, dst, rel_type FROM rels
+           |WHERE src = 42 OR dst = 42""".stripMargin,
+
+      "q55_sorted_neighborhood" ->
+        s"""${ctes("nn")}
+           |SELECT doc_id,
+           | CASE WHEN len(s) >= 2 THEN 'sn:' || s[1] || '|' || substr(s[2], 1, 2)
+           |      ELSE 'sn:' || s[1] END AS sn_key
+           |FROM (SELECT doc_id,
+           |      list_sort(string_split_regex(lower(trim(n)), '\\s+')) AS s
+           |      FROM nn)""".stripMargin,
+
+      "q54_merge_guard" ->
+        s"""${ctes("scores")},
+           |st AS (SELECT doc_id, lang,
+           |       CASE WHEN doc_id % 50 = 0 THEN 'MERGED' ELSE 'ACTIVE' END AS status
+           |       FROM documents)
+           |SELECT doc_id_a, doc_id_b, a.lang AS lang_a, b.lang AS lang_b,
+           | (a.lang = b.lang AND a.status = 'ACTIVE' AND b.status = 'ACTIVE'
+           |  AND score >= $CcThreshold) AS can_merge
+           |FROM sc JOIN st a ON a.doc_id = doc_id_a
+           |        JOIN st b ON b.doc_id = doc_id_b""".stripMargin,
     )
   }
 }

@@ -73,20 +73,50 @@ object Ann {
       .select("query_id", "item_id", "cosine", "rank")
   }
 
+  /** Sign-LSH bucket key over dimensions [offset+1, offset+bits] — the
+    * multi-band generalization of [[signBucket]] (band b hashes a
+    * different dimension slice, so each band is an independent chance to
+    * collide).
+    */
+  def signBucketAt(emb: Column, bits: Int, offset: Int): Column = {
+    val signs = transform(slice(emb.cast("array<double>"), offset + 1, bits),
+      x => when(x >= 0, lit("1")).otherwise(lit("0")))
+    array_join(signs, "")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold variant):
     * bucket-join + cosine >= threshold; pairs canonicalized a < b.
+    *
+    * Scale levers (the defaults reproduce the 1-band/4-bit exactness
+    * fixture; at corpus scale raise BOTH):
+    *  - `bits`: 4 bits = 16 buckets => ~n^2/16 in-bucket pairs — fine at
+    *    10^4 vectors, quadratic death at 10^9. Scale bits with log2(n)
+    *    (e.g. 16 bits at 10^9 rows) so bucket sizes stay bounded.
+    *  - `bands`: independent dimension slices; more bands = higher recall
+    *    at the same per-bucket cost (pairs are deduped across bands).
+    *  - `maxBlockSize`/`saltedMaxBlockSize`: hot buckets (embedding-space
+    *    boilerplate clusters) are salted then capped via
+    *    [[graft.pairs.CandidateGenerator]] instead of going quadratic in
+    *    one task.
     */
   def cosineNearDups(items: DataFrame, threshold: Double, bits: Int = 4,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     bands: Int = 1, maxBlockSize: Int = 1000000,
+                     saltedMaxBlockSize: Int = -1): DataFrame = {
     val it = items.select(col(idCol).as("vid"), col(embCol).as("emb"))
-      .withColumn("bucket", signBucket(col("emb"), bits))
-    val l = it.select(col("vid").as("id_a"), col("emb").as("emb_a"), col("bucket"))
-    val r = it.select(col("vid").as("id_b"), col("emb").as("emb_b"), col("bucket"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val keys = (0 until bands)
+      .map(b => it.select(
+        concat(lit(s"$b:"), signBucketAt(col("emb"), bits, b * bits)).as("block_key"),
+        col("vid").as("doc_id")))
+      .reduce(_ union _)
+    val pairs = graft.pairs.CandidateGenerator
+      .candidatePairs(keys, maxBlockSize, saltedMaxBlockSize)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    val l = it.select(col("vid").as("id_a"), col("emb").as("emb_a"))
+    val r = it.select(col("vid").as("id_b"), col("emb").as("emb_b"))
+    pairs.join(l, Seq("id_a")).join(r, Seq("id_b"))
       .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 }

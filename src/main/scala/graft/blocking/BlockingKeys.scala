@@ -159,11 +159,28 @@ object BlockingKeys {
     array(keys: _*)
   }
 
-  /** (doc_id, band_key) LSH key table for a text column — the staged
-    * shingle-hash -> signature -> band-key plan (each stage its own
-    * projection to keep expression trees linear).
+  /** (doc_id, band_key) LSH key table for a text column — the native
+    * one-pass kernel ([[MinhashKernel]]); produces exactly the keys of
+    * [[minhashKeyTableHof]] (property-tested) without the per-shingle
+    * allocation storm that made this stage GC-bound at high parallelism.
     */
-  def minhashKeyTable(df: DataFrame, idCol: String, text: Column): DataFrame =
+  def minhashKeyTable(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.select(col(idCol).as("doc_id"), text.as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) > 0)
+      .select(col("doc_id"),
+        explode(Bridge.column(MinhashBandKeysExpr(Bridge.expression(col("__t")))))
+          .as("block_key"))
+      .select(col("block_key"), col("doc_id"))
+  }
+
+  /** The staged higher-order-function formulation of [[minhashKeyTable]]
+    * (shingle-hash -> signature -> band-key, each stage its own
+    * projection). Kept as the executable spec the native kernel is
+    * property-tested against, and as the template the DuckDB oracle SQL
+    * mirrors ([[graft.oracle.OracleSql.minhashBandKeysList]]).
+    */
+  def minhashKeyTableHof(df: DataFrame, idCol: String, text: Column): DataFrame =
     df.select(col(idCol).as("doc_id"), text.as("__t"))
       .where(col("__t").isNotNull && length(col("__t")) > 0)
       .withColumn("__sh", shingleHashes(col("__t")))

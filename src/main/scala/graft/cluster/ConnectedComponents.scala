@@ -86,12 +86,16 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    val profile = sys.env.contains("GRAFT_PROFILE")
     var prevSig = (-1L, "")
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIterations) {
+      val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint(true)
       val sig = signature(e)
+      if (profile) System.err.println(
+        f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, edges=${sig._1}")
       converged = sig == prevSig
       prevSig = sig
       iter += 1

@@ -72,41 +72,71 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** SimHash near-dups: fingerprint each doc, self-join on a band of the
-    * fingerprint (high bits) and verify hamming distance <= maxHamming.
+  /** SimHash near-dups: fingerprint each doc, generate candidates on two
+    * 15-bit bands of the fingerprint, verify hamming distance <=
+    * maxHamming.
+    *
+    * The band joins route through [[graft.pairs.CandidateGenerator]] so a
+    * hot band bucket (near-identical boilerplate — the normal case in
+    * web-scale dedup) is size-capped/salted instead of going quadratic in
+    * one task. Dropped oversized buckets are a recall trade the cap makes
+    * explicit (raise maxBlockSize / saltedMaxBlockSize to keep them).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBlockSize: Int = 10000,
+                      saltedMaxBlockSize: Int = -1): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-    // materialize the fingerprints once: they are consumed by BOTH sides
-    // of BOTH band joins (4x otherwise — 30 bit-vote aggregates per eval)
+    // materialize the fingerprints once: they are consumed by the key
+    // table and both sides of the verify join (4x otherwise — 30
+    // bit-vote aggregates per eval)
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("__th", BlockingKeys.tokenHashes(toks))
       .withColumn("simhash", BlockingKeys.simhashFromHashes(col("__th")))
-      // band on the top 15 bits: near-dups collide in at least one half
-      .withColumn("band_hi", shiftright(col("simhash"), 15))
-      .withColumn("band_lo", col("simhash") % (1L << 15))
-      .select("doc_id", "simhash", "band_hi", "band_lo")
+      .select("doc_id", "simhash")
       .localCheckpoint(true)
-    val l = base.select(col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"),
-      col("band_hi").as("bh"), col("band_lo").as("bl"))
-    val r = base.select(col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"),
-      col("band_hi").as("bh"), col("band_lo").as("bl"))
-    val byHi = l.join(r, Seq("bh")).where(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
-    val byLo = l.join(r, Seq("bl")).where(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
-    byHi.union(byLo).distinct()
+    // band on the two 15-bit halves: near-dups collide in at least one
+    val keys = base.select(
+        concat(lit("hi:"), shiftright(col("simhash"), 15)).as("block_key"),
+        col("doc_id"))
+      .union(base.select(
+        concat(lit("lo:"), col("simhash") % (1L << 15)).as("block_key"),
+        col("doc_id")))
+    val pairs = graft.pairs.CandidateGenerator
+      .candidatePairs(keys, maxBlockSize, saltedMaxBlockSize)
+    val a = base.select(col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_id_a", "doc_id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard over blocking-key candidate pairs (the
-    * non-approximate cousin of [[minhashNearDups]], for smaller corpora
-    * or verification).
+  /** Exact n-gram Jaccard near-dups: candidates come from EXACT shingle
+    * keys (every pair sharing at least one character shingle), verified
+    * with true shingle Jaccard — full recall for any threshold > 0,
+    * unlike [[minhashNearDups]] whose LSH bands can miss qualifying
+    * pairs. The block-size cap bounds the quadratic shingle blocks
+    * (stop-shingle dropping — "the", "ing" — is what makes this runnable
+    * at all beyond toy scale; dropped keys are the explicit trade).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, maxBlockSize: Int = 10000): DataFrame =
-    minhashNearDups(df, idCol, textCol, threshold, maxBlockSize)
+                        threshold: Double, maxBlockSize: Int = 10000): DataFrame = {
+    require(threshold > 0.0,
+      "ngramJaccardPairs is exact only for threshold > 0 (pairs sharing no shingle score 0)")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val keys = base
+      .select(col("doc_id"), explode(BlockingKeys.shingles(col("text"))).as("block_key"))
+      .select("block_key", "doc_id")
+    val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
+    val sh = base.withColumn("__s", BlockingKeys.shingles(col("text")))
+    val a = sh.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"), col("__s").as("s_a"))
+    val b = sh.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
+    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+      .withColumn("jaccard",
+        when(col("text_a") === col("text_b"), lit(1.0))
+          .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
 }

@@ -84,6 +84,25 @@ object Multimodal {
     }
   }
 
+  /** Decode + feature extraction FUSED into one per-partition pass — a
+    * real media pipeline decodes each blob once and feeds both the
+    * metadata and the encoder from the decoded buffer; running
+    * [[decode]] and [[extractFeatures]] as separate operators re-reads
+    * (and with a real codec, re-decodes) every blob and pays a join to
+    * reunite the halves.
+    */
+  def decodeWithFeatures(media: Dataset[MediaRow], dim: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, hgt, dur) = MediaCodec.decodeStub(r.kind, r.bytes)
+        (MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur,
+          MediaCodec.contentHash(r.bytes)),
+          MediaCodec.featuresStub(r.bytes, dim))
+      }
+    }.toDF("meta", "features").select(col("meta.*"), col("features"))
+  }
+
   /** Deterministic frame sampling: every `everyMs` milliseconds of the
     * decoded duration, as a generator (explode), not a driver loop.
     */

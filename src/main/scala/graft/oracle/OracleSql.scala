@@ -159,4 +159,29 @@ object OracleSql {
        | $base * exp(-0.001 * greatest($days, 0.0))
        | + (CASE WHEN $support <= 0 THEN 0.0
        |    ELSE least(ln(1.0 + $support) * 0.05, 0.15) END)))""".stripMargin
+
+  /** Mention CTE for the synonym lifecycle: raw first-6-token value,
+    * normalized name (caller passes the name6 expression), exact-match
+    * entity (min doc_id per normalized), seq = doc_id. Mirrors
+    * SparkEntry.mentions — the WHERE applies before the window in both
+    * engines.
+    */
+  def mentionsCte(name6: String): String =
+    s"""WITH m AS (
+       | SELECT doc_id AS seq,
+       |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 6), ' ') AS "value",
+       |  n AS normalized,
+       |  min(doc_id) OVER (PARTITION BY n) AS entity_id
+       | FROM (SELECT doc_id, text, $name6 AS n FROM documents)
+       | WHERE n <> '')""".stripMargin
+
+  /** Deterministic relationship fixture mirroring SparkEntry.relsDF. */
+  val relsSql: String =
+    """SELECT concat('r', doc_id) AS rel_id, doc_id AS src,
+      | (doc_id * 7) % 500 AS dst,
+      | CASE WHEN doc_id % 3 = 0 THEN 'PARTNER'
+      |      WHEN doc_id % 3 = 1 THEN 'SUPPLIER'
+      |      ELSE 'COMPETITOR' END AS rel_type,
+      | doc_id AS created_seq, 'loader' AS created_by
+      |FROM documents""".stripMargin
 }

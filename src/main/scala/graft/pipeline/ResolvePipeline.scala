@@ -85,14 +85,15 @@ object ResolvePipeline {
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))
-    // Stage fingerprints = config + a cheap input identity (count +
-    // order-independent id-hash sum), so a different input table can never
-    // be silently resumed from a stale snapshot.
+    // Stage fingerprints = config + input identity (count + an
+    // order-independent hash sum over id AND content), so a different
+    // input table — same ids, changed spans included — can never be
+    // silently resumed from a stale snapshot.
     val inputFp = store.map { _ =>
       val row = docs.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("doc_id")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).collect()(0)
+        coalesce(sum(xxhash64(col("doc_id"), to_json(col("spans")))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).collect()(0)
       s"${row.get(0)}:${row.get(1)}"
     }.getOrElse("")
     val cfgFp = Seq(
@@ -125,7 +126,9 @@ object ResolvePipeline {
     // by key generation plus both sides of the scoring join
     val allNames = store match {
       case Some(_) => normalized.select("doc_id", "normalized")
-      case None => normalized.select("doc_id", "normalized").localCheckpoint(true)
+      case None => timed("allNames.localCheckpoint") {
+        normalized.select("doc_id", "normalized").localCheckpoint(true)
+      }
     }
 
     // ---- L1 exact-match fast path: one representative (min doc_id) per
@@ -168,7 +171,9 @@ object ResolvePipeline {
     // avoids re-running the minhash shingle hashing per consumer.
     val keys = store match {
       case Some(_) => stage("blocking_keys")(keyTables.reduce(_ union _))
-      case None => keyTables.reduce(_ union _).localCheckpoint(true)
+      case None => timed("keys.localCheckpoint") {
+        keyTables.reduce(_ union _).localCheckpoint(true)
+      }
     }
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
@@ -185,19 +190,17 @@ object ResolvePipeline {
     val a = names.select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
     val b = names.select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
     val w = cfg.weights
-    // Explicit repartition AFTER the name joins, immediately below the
-    // scoring projection: scoring is CPU-bound per ROW (ms-scale string
-    // kernels on long names), so AQE's byte-based coalescing would
-    // collapse the small-in-bytes pair table into one task. A
-    // user-specified repartition is exempt from AQE coalescing, and
-    // placing it as the last exchange pins the scoring stage's
-    // parallelism regardless of the join strategy chosen upstream.
-    val scoreParallelism = cfg.numShufflePartitions
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    // Scoring runs in the reduce stage of the second name join: with AQE
+    // partition coalescing disabled (set in run()) and
+    // spark.sql.shuffle.partitions pinned, that stage already has the
+    // wanted parallelism. An explicit repartition here would pin it too —
+    // but at the price of a full extra shuffle of the WIDEST table in the
+    // pipeline (pairs + both names), measured at whole-seconds per run;
+    // the join output is hash-distributed on doc_id_b, which is as even
+    // as the removed (doc_id_a, doc_id_b) hash for distinct pairs.
     val scoredPlan = pairs
       .join(a, Seq("doc_id_a"))
       .join(b, Seq("doc_id_b"))
-      .repartition(scoreParallelism, col("doc_id_a"), col("doc_id_b"))
       .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
       .withColumn("jw_score", Er.jaroWinkler(col("name_a"), col("name_b")))
       .withColumn("jaccard_score", Er.tokenJaccard(col("name_a"), col("name_b")))
@@ -219,14 +222,29 @@ object ResolvePipeline {
     // eager localCheckpoint is.
     val pairScores = store match {
       case Some(_) => stage("pair_scores")(scoredPlan)
-      case None => scoredPlan.localCheckpoint(true)
+      case None => timed("pairScores.localCheckpoint")(scoredPlan.localCheckpoint(true))
     }
 
     // ---- edges (M7/M9 + D7 overrides) -> connected components -> clusters
     val autoEdges = pairScores.where(col("decision") === "AUTO_MERGE")
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    // D7: override edges name RAW doc ids, but with exactPregroup the CC
+    // vertex set contains only exact-group representatives — remap each
+    // endpoint through repMap first, or an edge naming a non-rep doc
+    // would be silently ignored AND its raw id could leak in as a bogus
+    // min-label, breaking the "cluster_id = min member" invariant.
     val edges = overrideEdges match {
-      case Some(o) => autoEdges.union(o.select(col("src"), col("dst")))
+      case Some(o) =>
+        val remapped = repMap match {
+          case Some(m) =>
+            val srcRep = m.select(col("doc_id").as("src"), col("rep").as("__sr"))
+            val dstRep = m.select(col("doc_id").as("dst"), col("rep").as("__dr"))
+            o.select(col("src"), col("dst"))
+              .join(srcRep, Seq("src")).join(dstRep, Seq("dst"))
+              .select(col("__sr").as("src"), col("__dr").as("dst"))
+          case None => o.select(col("src"), col("dst"))
+        }
+        autoEdges.union(remapped)
       case None => autoEdges
     }
     val vertices = names.select("doc_id")
@@ -251,9 +269,11 @@ object ResolvePipeline {
     // D8 counters; exact-group collapses are reported as EXACT_MERGE
     // (the reference counts exact-match resolves separately from fuzzy
     // auto-merges, api/BatchContext.java:268-278)
-    val exactMerges = repMap
-      .map(m => m.where(col("doc_id") =!= col("rep")).count())
-      .getOrElse(0L)
+    val exactMerges = timed("exactMerges.count") {
+      repMap
+        .map(m => m.where(col("doc_id") =!= col("rep")).count())
+        .getOrElse(0L)
+    }
     val metrics = Decisions.decisionCounts(pairScores)
       .union(spark.createDataFrame(Seq(("EXACT_MERGE", exactMerges))).toDF("decision", "n"))
     PipelineResult(clusters, pairScores, rejects, metrics, candStats)

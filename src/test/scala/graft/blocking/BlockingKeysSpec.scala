@@ -78,6 +78,28 @@ class BlockingKeysSpec extends AnyFunSuite {
     assert(byKey.values.forall(_ == Set(1L, 2L)))
   }
 
+  test("native minhash kernel == staged HOF plan (property, 500 random strings)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(0xbadc0de)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz 0123456789.&-"
+    val strs = (0 until 500).map { i =>
+      val len = i % 3 match {
+        case 0 => 1 + rng.nextInt(2)      // shorter than a shingle
+        case 1 => 3 + rng.nextInt(20)     // short
+        case _ => 100 + rng.nextInt(400)  // corpus-shaped
+      }
+      (i.toLong, (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val df = strs.toDF("id", "t")
+    val native = BlockingKeys.minhashKeyTable(df, "id", col("t"))
+      .as[(String, Long)].collect().toSet
+    val hof = BlockingKeys.minhashKeyTableHof(df, "id", col("t"))
+      .as[(String, Long)].collect().toSet
+    assert(native == hof, "native kernel must emit exactly the HOF band keys")
+    assert(native.nonEmpty)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -116,6 +116,27 @@ class ResolvePipelineSpec extends AnyFunSuite {
     assert(clusters("d1") == clusters("d2"), "override edge must merge the pair")
   }
 
+  test("D7: override edges naming NON-representative docs still merge " +
+    "(remapped through the exact-group representative)") {
+    import spark.implicits._
+    // d1/d2 share a normalized name -> d2 is collapsed into rep d1 by
+    // exactPregroup; d3 is unrelated. The override names d2 (a non-rep):
+    // without remapping it would be silently ignored and its raw id
+    // could corrupt the min-label invariant.
+    val docs = Seq(
+      ("d1", Seq(graft.model.Span("text", "alpha industries", "", 0))),
+      ("d2", Seq(graft.model.Span("text", "alpha industries", "", 0))),
+      ("d3", Seq(graft.model.Span("text", "completely unrelated name", "", 0)))
+    ).toDF("doc_id", "spans")
+    val overrides = Seq(("d2", "d3")).toDF("src", "dst")
+    val res = ResolvePipeline.run(spark, docs,
+      PipelineConfig(exactPregroup = true), Some(overrides))
+    val clusters = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters("d2") == clusters("d3"), "non-rep override edge must merge")
+    assert(clusters("d1") == clusters("d2"))
+    assert(clusters.values.toSet == Set("d1"), "cluster_id must stay the min member")
+  }
+
   test("invalid docs go to rejects, not exceptions") {
     import spark.implicits._
     val bad = Seq(
