@@ -42,6 +42,19 @@ final case class PipelineConfig(
       * data and never enter the quadratic pair space.
       */
     exactPregroup: Boolean = true,
+    /** M9 canMerge, type half (merge/MergeEngine.java:310-322): name of a
+      * column on the input docs carrying the entity type; docs of
+      * different types share blocking keys and get scored, but never
+      * merge (edges are filtered on type equality before CC, and exact
+      * pregrouping groups by (normalized, type)).
+      */
+    typeColumn: Option[String] = None,
+    /** M9 canMerge, status half: name of a column on the input docs;
+      * docs whose value != "ACTIVE" do not participate in matching at
+      * all (the reference resolves only ACTIVE entities) and pass
+      * through as singleton clusters.
+      */
+    statusColumn: Option[String] = None,
     checkpointRoot: Option[String] = None,
     numShufflePartitions: Option[Int] = None)
 
@@ -101,7 +114,8 @@ object ResolvePipeline {
       cfg.weights.toString, cfg.thresholds.toString, cfg.entityType.toString,
       cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString,
       cfg.exactPregroup.toString, cfg.useDefaultKeys.toString,
-      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString).mkString("|")
+      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString,
+      cfg.typeColumn.toString, cfg.statusColumn.toString).mkString("|")
     def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
       store match {
         case Some(s) => s.materialize(name, s.fingerprint((cfgFp +: saltParts): _*))(compute)
@@ -116,32 +130,51 @@ object ResolvePipeline {
       .select("doc_id", "reject_reason")
     val valid = named.where(col("reject_reason").isNull).drop("reject_reason")
 
+    // ---- M9 status half: only ACTIVE docs participate in matching; the
+    // rest pass through as singleton clusters at the end
+    val statusCol = cfg.statusColumn.filter(docs.columns.contains)
+    val (matchable, inactiveIds) = statusCol match {
+      case Some(sc) => (
+        valid.where(col(sc) === "ACTIVE"),
+        Some(valid.where(col(sc) =!= "ACTIVE").select("doc_id")))
+      case None => (valid, None)
+    }
+    // M9 type half: thread the type column through pregrouping and the
+    // edge filter (aliased __type so it never collides with input names)
+    val typeCol = cfg.typeColumn.filter(docs.columns.contains)
+    val nameCols = Seq(col("doc_id"), col("normalized")) ++
+      typeCol.map(tc => col(tc).as("__type"))
+
     // ---- normalization (N1-N4)
     val normalized = stage("normalized") {
-      valid.withColumn("normalized",
+      matchable.withColumn("normalized",
         graft.norm.Normalizer.normalizeColumn(col("name"), cfg.entityType))
     }
     // keep the small projection materialized across the key/score joins —
     // the batch analog of the reference's entity-dim cache (I7); consumed
     // by key generation plus both sides of the scoring join
     val allNames = store match {
-      case Some(_) => normalized.select("doc_id", "normalized")
+      case Some(_) => normalized.select(nameCols: _*)
       case None => timed("allNames.localCheckpoint") {
-        normalized.select("doc_id", "normalized").localCheckpoint(true)
+        normalized.select(nameCols: _*).localCheckpoint(true)
       }
     }
 
     // ---- L1 exact-match fast path: one representative (min doc_id) per
-    // identical normalized name; members re-attach to their rep's cluster
-    // at the end. Output-equivalent (see PipelineConfig.exactPregroup).
+    // identical normalized name (per type, when typed — same-name docs of
+    // different types must not collapse); members re-attach to their
+    // rep's cluster at the end. Output-equivalent (see
+    // PipelineConfig.exactPregroup).
+    val groupCols = Seq("normalized") ++ typeCol.map(_ => "__type")
     val (names, repMap) =
       if (cfg.exactPregroup) {
         val reps = stage("exact_groups") {
-          allNames.groupBy("normalized").agg(min("doc_id").as("doc_id"))
-            .select("doc_id", "normalized")
+          allNames.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
+            .select((Seq(col("doc_id"), col("normalized")) ++
+              typeCol.map(_ => col("__type"))): _*)
         }
         val m = allNames
-          .join(reps.select(col("normalized"), col("doc_id").as("rep")), Seq("normalized"))
+          .join(reps.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
           .select(col("doc_id"), col("rep"))
         (reps, Some(m))
       } else (allNames, None)
@@ -198,6 +231,9 @@ object ResolvePipeline {
     // pipeline (pairs + both names), measured at whole-seconds per run;
     // the join output is hash-distributed on doc_id_b, which is as even
     // as the removed (doc_id_a, doc_id_b) hash for distinct pairs.
+    // (A shuffle_hash hint on the name sides was measured and reverted:
+    // 179 s vs 170 s for the SMJ plan at local[16] — the stage is
+    // kernel-dominated, and SMJ's sorts are not the bottleneck.)
     val scoredPlan = pairs
       .join(a, Seq("doc_id_a"))
       .join(b, Seq("doc_id_b"))
@@ -226,8 +262,20 @@ object ResolvePipeline {
     }
 
     // ---- edges (M7/M9 + D7 overrides) -> connected components -> clusters
-    val autoEdges = pairScores.where(col("decision") === "AUTO_MERGE")
+    // M9 type guard: cross-type pairs are scored (D3 keeps the record)
+    // but never become merge edges (merge/MergeEngine.java:310-322)
+    val autoEdgesRaw = pairScores.where(col("decision") === "AUTO_MERGE")
       .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    val autoEdges = typeCol match {
+      case Some(_) =>
+        val t = names.select(col("doc_id"), col("__type"))
+        autoEdgesRaw
+          .join(t.select(col("doc_id").as("src"), col("__type").as("__ta")), Seq("src"))
+          .join(t.select(col("doc_id").as("dst"), col("__type").as("__tb")), Seq("dst"))
+          .where(col("__ta") === col("__tb"))
+          .select("src", "dst")
+      case None => autoEdgesRaw
+    }
     // D7: override edges name RAW doc ids, but with exactPregroup the CC
     // vertex set contains only exact-group representatives — remap each
     // endpoint through repMap first, or an edge naming a non-rep doc
@@ -254,12 +302,18 @@ object ResolvePipeline {
       }
     }
 
-    // expand representative clusters back to every member
-    val assignments = repMap match {
+    // expand representative clusters back to every member; non-ACTIVE
+    // docs re-enter as their own singleton clusters (M9 status half)
+    val expanded = repMap match {
       case Some(m) =>
         m.join(repAssignments.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"))
           .select("doc_id", "cluster_id")
       case None => repAssignments
+    }
+    val assignments = inactiveIds match {
+      case Some(ids) =>
+        expanded.union(ids.select(col("doc_id"), col("doc_id").as("cluster_id")))
+      case None => expanded
     }
 
     // ---- re-attach spans untouched (per-row invariant)

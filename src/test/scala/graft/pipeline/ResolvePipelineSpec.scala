@@ -137,6 +137,26 @@ class ResolvePipelineSpec extends AnyFunSuite {
     assert(clusters.values.toSet == Set("d1"), "cluster_id must stay the min member")
   }
 
+  test("M9 canMerge: cross-type pairs never merge; non-ACTIVE docs are singletons") {
+    import spark.implicits._
+    // d1/d2: identical names, different types -> no merge (not even the
+    // exact-pregroup collapse). d3: identical name+type to d1 -> merges.
+    // d4: identical name+type but MERGED status -> singleton.
+    val docs = Seq(
+      ("d1", "COMPANY", "ACTIVE", Seq(graft.model.Span("text", "acme corporation", "", 0))),
+      ("d2", "PERSON", "ACTIVE", Seq(graft.model.Span("text", "acme corporation", "", 0))),
+      ("d3", "COMPANY", "ACTIVE", Seq(graft.model.Span("text", "acme corporation", "", 0))),
+      ("d4", "COMPANY", "MERGED", Seq(graft.model.Span("text", "acme corporation", "", 0)))
+    ).toDF("doc_id", "entity_type", "status", "spans")
+    val res = ResolvePipeline.run(spark, docs,
+      PipelineConfig(typeColumn = Some("entity_type"), statusColumn = Some("status")))
+    val clusters = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters("d1") == clusters("d3"), "same name+type must merge")
+    assert(clusters("d1") != clusters("d2"), "cross-type docs must not merge")
+    assert(clusters("d4") == "d4", "non-ACTIVE doc must stay a singleton")
+    assert(clusters.size == 4)
+  }
+
   test("invalid docs go to rejects, not exceptions") {
     import spark.implicits._
     val bad = Seq(
