@@ -73,6 +73,88 @@ object Ann {
       .select("query_id", "item_id", "cosine", "rank")
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Squared L2 distance to a literal centroid (codegen'd HOF chain). */
+  private def l2sqTo(emb: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb.cast("array<double>"), typedlit(centroid),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cell id = argmin over the centroid distances (expression-only — the
+    * centroid model is a tiny driver-held array, broadcast as literals).
+    */
+  private def cellOf(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => l2sqTo(emb, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train an IVF coarse quantizer: k-means with deterministic seeding
+    * (the k lowest-id vectors) and a fixed number of Lloyd iterations.
+    * The model (k x dim doubles) is the only thing collected to the
+    * driver — the standard shape for ANN indexes: tiny model, huge index.
+    *
+    * NOTE: centroid means average floating-point values whose partial-agg
+    * order varies run to run, so borderline cell assignments are not
+    * bit-deterministic — IVF is verified by recall-vs-brute-force tests,
+    * not the value-exact oracle (same policy as Jaro-Winkler).
+    */
+  def ivfTrain(items: DataFrame, k: Int, iters: Int = 2,
+               idCol: String = "vec_id", embCol: String = "embedding"): Seq[Seq[Double]] = {
+    val it = items.select(col(idCol).as("vid"),
+      col(embCol).cast("array<double>").as("emb"))
+    var centroids: Seq[Seq[Double]] = it.orderBy("vid").limit(k)
+      .select("emb").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = it.withColumn("cell", cellOf(col("emb"), centroids))
+      // per-cell mean: posexplode -> groupBy (cell, pos) avg — partial
+      // aggregation, never an array-of-all-members in one task
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_._2).map(_._3).toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF top-k: assign items to their nearest cell once (the index);
+    * assign each query to its `nProbe` nearest cells; search only within
+    * those cells (equi-join on cell) and rank by cosine. The same
+    * assign -> join-within-cell shape as [[lshTopK]], with a trained
+    * quantizer instead of axis-aligned hyperplanes — higher recall per
+    * probed fraction on clustered data.
+    */
+  def ivfTopK(items: DataFrame, queries: DataFrame, centroids: Seq[Seq[Double]],
+              k: Int, nProbe: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
+      .withColumn("cell", cellOf(col("item_emb"), centroids))
+    val qDists = array(centroids.map(c => l2sqTo(col("query_emb"), c)): _*)
+    val probeCells = slice(
+      transform(array_sort(
+        zip_with(qDists, sequence(lit(0), lit(centroids.size - 1)),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i")),
+      1, nProbe)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
+      .withColumn("cell", explode(probeCells))
+    val scored = q.join(it, Seq("cell"))
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("query_emb"), col("item_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("item_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
   /** Sign-LSH bucket key over dimensions [offset+1, offset+bits] — the
     * multi-band generalization of [[signBucket]] (band b hashes a
     * different dimension slice, so each band is an independent chance to

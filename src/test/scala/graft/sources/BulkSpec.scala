@@ -47,4 +47,36 @@ class BulkSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.where(org.apache.spark.sql.functions.col("name") === "b,c").count() == 1)
   }
+
+  test("parquet round-trip preserves nested spans; partitionBy prunes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pq").resolve("out")
+    val df = Seq(
+      ("d1", "en", Seq(graft.model.Span("text", "acme corp", "", 0),
+        graft.model.Span("image", "", "media://img/1", 1))),
+      ("d2", "fr", Seq(graft.model.Span("text", "globex", "", 0)))
+    ).toDF("name", "lang", "spans")
+    Bulk.exportParquet(df, dir.toString, partitionBy = Seq("lang"))
+    val res = Bulk.importParquet(spark, dir.toString)
+    assert(res.rejects.isEmpty)
+    assert(res.rows.count() == 2)
+    // nested spans byte-identical through the round trip
+    val back = res.rows.where($"name" === "d1")
+      .select("spans").as[Seq[graft.model.Span]].head()
+    assert(back == Seq(graft.model.Span("text", "acme corp", "", 0),
+      graft.model.Span("image", "", "media://img/1", 1)))
+    // partition pruning reaches the scan
+    val pruned = spark.read.parquet(dir.toString).where($"lang" === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$plan")
+  }
+
+  test("ORC round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("out")
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "n")
+    Bulk.exportOrc(df, dir.toString)
+    val res = Bulk.importOrc(spark, dir.toString)
+    assert(res.rows.count() == 2 && res.rejects.isEmpty)
+  }
 }

@@ -44,6 +44,50 @@ class StreamingResolveSpec extends AnyFunSuite {
     assert(!out.contains("d4"), "blank doc must be rejected from the stream")
   }
 
+  test("streaming exact dedup keeps the first occurrence per content hash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    Seq(
+      ("d1", "same text", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      ("d2", "same text", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+      ("d3", "other text", java.sql.Timestamp.valueOf("2024-01-01 00:00:03"))
+    ).toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val deduped = StreamingResolve.dedupStream(stream, "ts", "text")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_out").select("doc_id").as[String].collect().toSet
+    assert(ids.contains("d3"))
+    assert((ids - "d3").size == 1, s"exactly one of the dup pair must survive: $ids")
+  }
+
+  test("mapGroupsWithState sessionization: gap splits sessions, state carries counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    val us = (s: Long) => s * 1000000L
+    Seq(
+      (7L, us(0)), (7L, us(60)),            // session 1 (gap <= 30 min)
+      (7L, us(60 * 60)),                    // session 2 (gap > 30 min)
+      (9L, us(10))                          // other user, own session
+    ).toDF("user_id", "ts_us").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[(Long, Long)]
+    val sessions = StreamingResolve.sessionize(stream)
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName("sess_out").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sess_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(7L) == ((1L, 2L)), "user 7 ends in session 2 with 1 event in it")
+    assert(out(9L) == ((1L, 1L)))
+  }
+
   test("watermarked windowed decision counts run to completion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream2").toString
