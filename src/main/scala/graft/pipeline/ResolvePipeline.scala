@@ -61,6 +61,12 @@ final case class PipelineConfig(
 final case class PipelineResult(
     clusters: DataFrame,        // doc_id, cluster_id, spans
     pairScores: DataFrame,      // doc_id_a/b, lev/jw/jaccard/score, decision
+    /** L6 provenance: the merge edges that fed CC, with score and reason
+      * (MERGED_INTO edge properties, graph/CypherExecutor.java:343-351) —
+      * the input to [[graft.audit.Audit.mergeHistory]] once the caller
+      * stamps its batch sequence.
+      */
+    mergeEdges: DataFrame,      // src, dst, confidence, reason
     rejects: DataFrame,         // doc_id, reject_reason
     metrics: DataFrame,         // decision -> n
     candidateStats: CandidateGenerator.CandidateStats)
@@ -330,6 +336,19 @@ object ResolvePipeline {
     }
     val metrics = Decisions.decisionCounts(pairScores)
       .union(spark.createDataFrame(Seq(("EXACT_MERGE", exactMerges))).toDF("decision", "n"))
-    PipelineResult(clusters, pairScores, rejects, metrics, candStats)
+    // L6 provenance edges: type-guarded AUTO_MERGE edges re-attached to
+    // their scores (the reference stores confidence/reason on every
+    // MERGED_INTO edge) plus the review overrides
+    val scoredEdges = autoEdges
+      .join(pairScores.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"),
+        col("score").as("confidence")), Seq("src", "dst"))
+      .withColumn("reason", lit("AUTO_MERGE"))
+    val mergeEdges = overrideEdges match {
+      case Some(o) => scoredEdges.unionByName(
+        o.select(col("src"), col("dst")).withColumn("confidence", lit(1.0))
+          .withColumn("reason", lit("REVIEW_APPROVED")))
+      case None => scoredEdges
+    }
+    PipelineResult(clusters, pairScores, mergeEdges, rejects, metrics, candStats)
   }
 }

@@ -80,6 +80,20 @@ class ResolvePipelineSpec extends AnyFunSuite {
       "span sequences were not preserved exactly")
   }
 
+  test("mergeEdges carry score + reason provenance (L6 feed)") {
+    // long-text corpus: every duplicate is a typo variant, so merges are
+    // FUZZY AUTO_MERGE edges (the short-name corpus collapses all dups
+    // in the exact-pregroup and emits no edges at all)
+    val docs = DocGen.corpusDF(spark, entities = 12, docsPerEntity = 3,
+      fillerTokens = 12).select("doc_id", "spans")
+    val r = ResolvePipeline.run(spark, docs)
+    val edges = r.mergeEdges.collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall(e => e.getAs[String]("reason") == "AUTO_MERGE"))
+    assert(edges.forall(e => e.getAs[Double]("confidence") >= 0.92),
+      "AUTO_MERGE edges must carry their (threshold-passing) scores")
+  }
+
   test("no rejects on the clean corpus; merge metrics exist") {
     assert(result.rejects.isEmpty)
     val m = result.metrics.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
