@@ -649,6 +649,30 @@ object SparkEntry {
       Relationships.byEither(relsDF(s, dir), lit(42L))
         .select("rel_id", "src", "dst", "rel_type")),
 
+    // --- grouping sets: full cube over events
+    "q56_event_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // --- exact order statistics (median interpolates on an integral
+    //     grid with f in {0, 0.5} — binary-exact in both engines)
+    "q57_order_stats" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))),
+
+    // --- correlated scalar subquery (decorrelated by Catalyst)
+    "q58_scalar_subquery" -> ((s, dir) => {
+      s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("part_v")
+      s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+               WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+                                      FROM part_v p2 WHERE p2.p_brand = p.p_brand)""")
+    }),
+
     // --- B5: sorted-neighborhood blocking keys (previously unit-only)
     "q55_sorted_neighborhood" -> ((s, dir) =>
       nonBlank(s, dir).select(col("doc_id"),
@@ -1076,6 +1100,21 @@ object SparkEntry {
         s"""WITH rels AS (${O.relsSql})
            |SELECT rel_id, src, dst, rel_type FROM rels
            |WHERE src = 42 OR dst = 42""".stripMargin,
+
+      "q56_event_cube" ->
+        s"""SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+           |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin,
+
+      "q57_order_stats" ->
+        s"""SELECT l_returnflag, median(l_quantity) AS med_qty,
+           | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           | count(*) AS n
+           |FROM lineitem GROUP BY 1""".stripMargin,
+
+      "q58_scalar_subquery" ->
+        s"""SELECT p_partkey, p_brand, p_retailprice FROM part p
+           |WHERE p_retailprice = (SELECT max(p2.p_retailprice)
+           |                       FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
 
       "q55_sorted_neighborhood" ->
         s"""${ctes("nn")}
