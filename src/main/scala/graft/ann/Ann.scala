@@ -14,9 +14,21 @@ object Ann {
 
   /** Cosine similarity between two array<float|double> columns, computed
     * in double precision with a deterministic left-fold accumulation
-    * order. Zero-norm vectors -> 0.0.
+    * order. Zero-norm vectors -> 0.0. Native one-pass kernel
+    * ([[CosineKernel]]); property-tested bit-identical to [[cosineHof]].
     */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** The higher-order-function formulation of [[cosine]] — the executable
+    * spec the native kernel is property-tested against and the template
+    * the DuckDB oracle mirrors ([[graft.oracle.OracleSql.cosine]]). The
+    * HOF plan allocates 3 x dim objects per row; the kernel reads both
+    * arrays once.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     def dot(x: Column, y: Column): Column =
