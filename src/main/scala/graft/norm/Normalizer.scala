@@ -126,13 +126,25 @@ object Normalizer {
     result.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
   }
 
-  /** Column-level normalization: a chain of built-in `regexp_replace`
-    * calls ((?i) = the reference's Pattern.CASE_INSENSITIVE), fully inside
-    * whole-stage codegen. Final cleanup lower+collapse+trim is equivalent
-    * to the reference's lower+trim+collapse because the collapse rule maps
-    * leading/trailing \s+ to a single literal space.
+  /** Column-level normalization: the native one-conversion chain
+    * ([[NormalizeExpr]] — same java.util.regex patterns, one
+    * UTF8String round trip instead of one per rule). Property-tested
+    * equal to [[normalizeColumnBuiltins]].
     */
   def normalizeColumn(col: Column, entityType: Option[String] = Some(COMPANY)): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NormalizeExpr(Bridge.expression(col), entityType))
+  }
+
+  /** The built-in formulation: a chain of `regexp_replace` calls
+    * ((?i) = the reference's Pattern.CASE_INSENSITIVE), fully inside
+    * whole-stage codegen. Final cleanup lower+collapse+trim is equivalent
+    * to the reference's lower+trim+collapse because the collapse rule maps
+    * leading/trailing \s+ to a single literal space. Kept as the
+    * executable spec the native expression is property-tested against
+    * (and the template [[normalizeSql]] mirrors).
+    */
+  def normalizeColumnBuiltins(col: Column, entityType: Option[String] = Some(COMPANY)): Column = {
     val chained = rulesFor(entityType).foldLeft(col) { (c, r) =>
       regexp_replace(c, "(?i)" + r.pattern, r.replacement)
     }

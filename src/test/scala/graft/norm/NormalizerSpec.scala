@@ -11,6 +11,27 @@ import graft.SparkTestSession
   */
 class NormalizerSpec extends AnyFunSuite {
 
+  test("native normalize expression == built-in regexp_replace chain (property)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(0x0057)
+    val alphabet = "abcDEF &.,-_0123456789\t\né中 "
+    val corners = Seq("", "   ", "The Acme Corp", "a & b and c", "x  ,  Inc.",
+      "dbo.table_v2", "Mr. John Smith Jr.", null)
+    val rand = (0 until 300).map(_ =>
+      (0 until rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = (corners ++ rand).zipWithIndex.map(_.swap).toDF("id", "s")
+    for (et <- Seq(Some(Normalizer.COMPANY), Some(Normalizer.PERSON),
+        Some(Normalizer.DATASET), None)) {
+      val out = df.select(
+        Normalizer.normalizeColumn(col("s"), et).as("native"),
+        Normalizer.normalizeColumnBuiltins(col("s"), et).as("builtin")).collect()
+      out.foreach(r => assert(r.getString(0) == r.getString(1),
+        s"type=$et native='${r.getString(0)}' builtin='${r.getString(1)}'"))
+    }
+  }
+
   val goldens: Seq[(String, String)] = Seq(
     "Apple Inc." -> "apple",
     "Apple Incorporated" -> "apple",
