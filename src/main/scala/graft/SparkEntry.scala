@@ -342,11 +342,11 @@ object SparkEntry {
         .select(col("doc_id"), col("block_key").as("band_key"))),
 
     // --- MinHash near-dup (band join + shingle-Jaccard verify); oracle
-    //     restricted to doc_id < 150 (the synthetic corpus is so
+    //     covering the full sf0.01 table (doc_id < 500; capped because the corpus is so
     //     self-similar that bands collide massively — a property of the
     //     testdata, not the operator)
     "q18_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDups(documents(s, dir).where(col("doc_id") < 150),
+      Dedup.minhashNearDups(documents(s, dir).where(col("doc_id") < 500),
         "doc_id", "text", threshold = 0.5)),
 
     // --- SimHash fingerprints
@@ -806,7 +806,7 @@ object SparkEntry {
 
       "q18_minhash_neardup" ->
         s"""WITH docs150 AS (SELECT doc_id, text FROM documents
-           |                 WHERE doc_id < 150 AND text IS NOT NULL AND length(text) > 0),
+           |                 WHERE doc_id < 500 AND text IS NOT NULL AND length(text) > 0),
            |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key FROM docs150),
            |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |      FROM k a JOIN k b USING(block_key) WHERE a.doc_id < b.doc_id),
