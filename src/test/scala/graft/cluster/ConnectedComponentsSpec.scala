@@ -57,6 +57,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(ids.head))
   }
 
+  test("property: random graphs match a driver-side union-find (20 seeds)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    for (seed <- 0 until 20) {
+      val rng = new scala.util.Random(seed * 7919 + 13)
+      val n = 20 + rng.nextInt(60)
+      val m = rng.nextInt(2 * n)
+      val edges = (0 until m).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      // reference: classic union-find on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = ConnectedComponents.run(spark,
+          edges.toDF("src", "dst"),
+          (0 until n).map(_.toLong).toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed n=$n m=$m")
+    }
+  }
+
   test("numeric ids use numeric min (type-preserving)") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -80,6 +80,16 @@ class ResolvePipelineSpec extends AnyFunSuite {
       "span sequences were not preserved exactly")
   }
 
+  test("typed facade: Dataset[Doc] in, Dataset[ClusterAssignment] out, same clusters") {
+    import spark.implicits._
+    val docsDs = truthDocs.select("doc_id", "spans").as[graft.model.Doc]
+    val typed = TypedResolve.resolve(spark, docsDs)
+    val fromTyped = typed.clusters.collect().map(c => c.doc_id -> c.cluster_id).toMap
+    val fromUntyped = result.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fromTyped == fromUntyped)
+    assert(typed.pairScores.head().isInstanceOf[graft.model.PairScore])
+  }
+
   test("mergeEdges carry score + reason provenance (L6 feed)") {
     // long-text corpus: every duplicate is a typo variant, so merges are
     // FUZZY AUTO_MERGE edges (the short-name corpus collapses all dups
