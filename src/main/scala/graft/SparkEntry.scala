@@ -656,6 +656,24 @@ object SparkEntry {
       Relationships.byEither(relsDF(s, dir), lit(42L))
         .select("rel_id", "src", "dst", "rel_type")),
 
+    // --- media frame sampling: generator (sequence+explode) over decoded
+    //     durations — rows-only (durations derive from JVM content
+    //     hashes). The span fixture is image-only, so vary the kind by
+    //     doc id to exercise the video path.
+    "q59_media_frames" -> ((s, dir) => {
+      val spanned = spanDocs(s, dir).select(col("doc_id"),
+        transform(col("spans"), sp => struct(
+          when(sp.getField("kind") === "text", sp.getField("kind"))
+            .when(col("doc_id") % 3 === 0, "video")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("image").as("kind"),
+          sp.getField("text").as("text"),
+          sp.getField("media_ref").as("media_ref"),
+          sp.getField("offset").as("offset"))).as("spans"))
+      val media = Multimodal.synthesizeMedia(s, spanned)
+      Multimodal.sampleFrames(Multimodal.decode(media), everyMs = 2000L)
+    }),
+
     // --- grouping sets: full cube over events
     "q56_event_cube" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
