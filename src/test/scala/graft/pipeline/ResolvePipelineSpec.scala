@@ -181,6 +181,31 @@ class ResolvePipelineSpec extends AnyFunSuite {
     assert(clusters.size == 4)
   }
 
+  test("D7 end-to-end: REVIEW queue -> approvals -> pipeline merge loop") {
+    import spark.implicits._
+    // names close enough to score in the REVIEW band, far from AUTO_MERGE
+    val docs = Seq(
+      ("d1", Seq(graft.model.Span("text", "northwind trading house", "", 0))),
+      ("d2", Seq(graft.model.Span("text", "northwind trading co ltd", "", 0))),
+      ("d3", Seq(graft.model.Span("text", "completely different name", "", 0)))
+    ).toDF("doc_id", "spans")
+    val first = ResolvePipeline.run(spark, docs)
+    val firstClusters = first.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val queue = graft.review.Review.queueFromScores(first.pairScores)
+    val pending = queue.collect()
+    assert(pending.nonEmpty, "expected a REVIEW-band pair to queue")
+    assert(firstClusters("d1") != firstClusters("d2"), "REVIEW band must not merge on its own")
+    // human approves everything pending -> re-run with override edges
+    val approved = graft.review.Review.approvedEdges(
+      queue.withColumn("status", org.apache.spark.sql.functions.lit("APPROVED")))
+    val second = ResolvePipeline.run(spark, docs, PipelineConfig(), Some(approved))
+    val clusters = second.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters("d1") == clusters("d2"), "approved review must merge the pair")
+    assert(clusters("d3") != clusters("d1"))
+    val reasons = second.mergeEdges.select("reason").as[String].collect().toSet
+    assert(reasons.contains("REVIEW_APPROVED"))
+  }
+
   test("invalid docs go to rejects, not exceptions") {
     import spark.implicits._
     val bad = Seq(
