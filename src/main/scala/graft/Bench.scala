@@ -102,7 +102,11 @@ object Bench {
     spark = freshSession(cpus)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val n = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       (name, dt, n)
     }

@@ -704,6 +704,16 @@ object SparkEntry {
         BlockingKeys.sortedNeighborhoodKey(col("n")).as("sn_key"))
         .where(col("sn_key").isNotNull)),
 
+    // --- the flagship pipeline, value-exact: same code path as q29 but
+    //     with oracle-safe weights (lev .5/jac .5, JW weight 0), so the
+    //     full span-name -> validate -> normalize -> exact-pregroup ->
+    //     3-strategy blocking -> capped pairs -> scoring -> AUTO_MERGE ->
+    //     CC -> member-expansion chain is SQL-reproducible end to end
+    "q60_pipeline_oracle" -> ((s, dir) =>
+      ResolvePipeline.run(s, spanDocs(s, dir),
+        PipelineConfig(weights = SimilarityWeights.oracleSafe))
+        .clusters.select("doc_id", "cluster_id")),
+
     // --- M9: type-aware merge guard — same type + both ACTIVE
     "q54_merge_guard" -> ((s, dir) => {
       val d = documents(s, dir).select(col("doc_id"), col("lang"),
@@ -964,10 +974,13 @@ object SparkEntry {
       // ---- relational surface (exact integer cents; see `cents`)
 
       "q38_pricing_summary" ->
+        // DuckDB promotes sum(BIGINT) to HUGEINT (arrow decimal128) while
+        // Spark stays int64 — the driver hash is TYPED, so every integer
+        // sum must be cast back to BIGINT at the top level.
         s"""SELECT l_returnflag, l_linestatus,
-           | sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+           | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+           | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
@@ -976,7 +989,7 @@ object SparkEntry {
       "q39_nation_revenue" ->
         s"""SELECT n_name, count(*) AS n_orders,
            | count(DISTINCT c_custkey) AS n_customers,
-           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
            |FROM orders
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
@@ -984,7 +997,7 @@ object SparkEntry {
 
       "q40_region_year_revenue" ->
         s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
-           | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            | count(*) AS n_items
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
@@ -995,7 +1008,7 @@ object SparkEntry {
 
       "q41_brand_supplier" ->
         s"""SELECT p_brand, n_name,
-           | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            | count(*) AS n_items
            |FROM lineitem
            |JOIN part ON l_partkey = p_partkey
@@ -1117,8 +1130,9 @@ object SparkEntry {
            |      UNION ALL
            |      SELECT dst AS entity_id, rel_type, 0 AS outgoing, count(*) AS incoming
            |      FROM rels GROUP BY 1, 2)
-           |SELECT entity_id, rel_type, sum(outgoing) AS outgoing,
-           | sum(incoming) AS incoming, sum(outgoing) + sum(incoming) AS total
+           |SELECT entity_id, rel_type, CAST(sum(outgoing) AS BIGINT) AS outgoing,
+           | CAST(sum(incoming) AS BIGINT) AS incoming,
+           | CAST(sum(outgoing) + sum(incoming) AS BIGINT) AS total
            |FROM d GROUP BY 1, 2""".stripMargin,
 
       "q53_rel_lookup" ->
@@ -1149,6 +1163,49 @@ object SparkEntry {
            |FROM (SELECT doc_id,
            |      list_sort(string_split_regex(lower(trim(n)), '\\s+')) AS s
            |      FROM nn)""".stripMargin,
+
+      "q60_pipeline_oracle" ->
+        s"""WITH RECURSIVE
+           |t12 AS (SELECT doc_id,
+           |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 12), ' ') AS text
+           |  FROM documents),
+           |cuts AS (SELECT doc_id, text,
+           |  CAST(ceil(length(text) / 3.0) AS INT) AS a,
+           |  CAST(ceil(length(text) * 2 / 3.0) AS INT) AS b,
+           |  length(text) AS l FROM t12),
+           |nm AS (SELECT doc_id,
+           |  substr(text, 1, a) || ' ' || substr(text, a + 1, b - a) || ' ' ||
+           |  substr(text, b + 1, l - b) AS name FROM cuts),
+           |valid AS (SELECT doc_id, name FROM nm
+           |  WHERE name IS NOT NULL AND trim(name) <> '' AND length(name) <= 1000
+           |    AND NOT regexp_matches(name, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')),
+           |nrm AS (SELECT doc_id, ${O.norm("name")} AS normalized FROM valid),
+           |reps AS (SELECT min(doc_id) AS doc_id, normalized FROM nrm GROUP BY normalized),
+           |rm AS (SELECT n.doc_id, r.doc_id AS rep FROM nrm n JOIN reps r USING(normalized)),
+           |kd AS (SELECT doc_id, unnest(${O.defaultKeysList("normalized")}) AS block_key
+           |       FROM reps WHERE normalized <> ''),
+           |ks AS (SELECT doc_id, ${O.snKey("normalized")} AS block_key
+           |       FROM reps WHERE normalized <> ''),
+           |km AS (SELECT doc_id, unnest(${O.minhashBandKeysList("normalized")}) AS block_key
+           |       FROM reps WHERE normalized <> ''),
+           |k AS (SELECT * FROM kd UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM km),
+           |ok AS (SELECT block_key FROM k GROUP BY 1 HAVING count(*) <= 1000),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |      FROM k a JOIN ok USING(block_key) JOIN k b USING(block_key)
+           |      WHERE a.doc_id < b.doc_id),
+           |pn AS (SELECT doc_id_a, doc_id_b, na.normalized AS name_a, nb.normalized AS name_b
+           |       FROM p JOIN reps na ON na.doc_id = doc_id_a
+           |              JOIN reps nb ON nb.doc_id = doc_id_b),
+           |sc AS (SELECT doc_id_a, doc_id_b, ${O.oracleScore("name_a", "name_b")} AS score FROM pn),
+           |edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM sc WHERE score >= 0.92),
+           |und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+           |cc(node, cl) AS (SELECT s, s FROM und
+           |                 UNION
+           |                 SELECT und.d, cc.cl FROM cc JOIN und ON und.s = cc.node),
+           |lbl AS (SELECT node AS doc_id, min(cl) AS cluster_id FROM cc GROUP BY node),
+           |asgr AS (SELECT r.doc_id, coalesce(l.cluster_id, r.doc_id) AS cluster_id
+           |         FROM reps r LEFT JOIN lbl l USING(doc_id))
+           |SELECT rm.doc_id, a.cluster_id FROM rm JOIN asgr a ON a.doc_id = rm.rep""".stripMargin,
 
       "q54_merge_guard" ->
         s"""${ctes("scores")},

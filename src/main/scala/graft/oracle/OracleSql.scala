@@ -94,6 +94,17 @@ object OracleSql {
        |      / CAST(len($sa) + len($sb) - $inter AS DOUBLE) END)""".stripMargin
   }
 
+  /** B5 sorted-neighborhood key over an already-normalized name
+    * expression — mirrors BlockingKeys.sortedNeighborhoodKey (NULL for
+    * blank input, handled by the caller's WHERE).
+    */
+  def snKey(n: String, secondPrefixLen: Int = 2): String = {
+    val s = s"list_sort(string_split_regex(lower(trim($n)), '\\s+'))"
+    s"""(CASE WHEN len($s) >= 2
+       | THEN 'sn:' || $s[1] || '|' || substr($s[2], 1, $secondPrefixLen)
+       | ELSE 'sn:' || $s[1] END)""".stripMargin
+  }
+
   /** MinHash signature element j over a shingle-hash list expression. */
   private def minhashJ(hashes: String, j: Int): String = {
     val (aj, bj) = BlockingKeys.Coef(j)

@@ -33,22 +33,45 @@ def canon(rows, cols):
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return [tuple(cols[i] for i in order)] + out
 
+def normtype(t):
+    """Collapse arrow-type differences the driver's hash tolerates
+    (observed in CORRECTNESS_r02: int32-vs-int64 and timestamp-unit
+    mismatches hash fine; decimal128-vs-int64 does NOT — DuckDB's
+    sum(BIGINT)->HUGEINT promotion was the only hash-breaking case)."""
+    s = str(t)
+    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"):
+        return "int"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
         tbl = pq.read_table(f"{outdir}/{name}")
         spark_cols = tbl.column_names
+        spark_types = {f.name: normtype(f.type) for f in tbl.schema}
         spark_rows = [tuple(row[c] for c in spark_cols) for row in tbl.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: spark output unreadable: {e}")
         fails += 1
         continue
     try:
-        res = con.execute(sql)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        dtbl = con.execute(sql).fetch_arrow_table()
+        duck_cols = dtbl.column_names
+        duck_types = {f.name: normtype(f.type) for f in dtbl.schema}
+        duck_rows = [tuple(row[c] for c in duck_cols) for row in dtbl.to_pylist()]
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0][:200]}")
+        fails += 1
+        continue
+    # the driver's hash is TYPED: sum(BIGINT)->decimal128 in DuckDB vs
+    # int64 in Spark hash-mismatches even when every value is equal
+    badtypes = {c: (spark_types.get(c), duck_types.get(c))
+                for c in set(spark_types) | set(duck_types)
+                if spark_types.get(c) != duck_types.get(c)}
+    if badtypes:
+        print(f"FAIL {name}: TYPE mismatch (spark, duck): {badtypes}")
         fails += 1
         continue
     a = canon(spark_rows, spark_cols)
