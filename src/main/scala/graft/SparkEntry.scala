@@ -10,6 +10,7 @@ import graft.ann.Ann
 import graft.audit.Audit
 import graft.blocking.BlockingKeys
 import graft.cluster.ConnectedComponents
+import graft.context.EntityContext
 import graft.decide.Decisions
 import graft.dedup.Dedup
 import graft.functions.Er
@@ -218,6 +219,67 @@ object SparkEntry {
       case "cc" => base + keys + scored + cc
     }
     "WITH RECURSIVE " + chain.trim.stripSuffix(",")
+  }
+
+  /** Recursive-CTE mirror of the full ResolvePipeline with oracle-safe
+    * weights over the span-doc fixture (q60); with `tenant` on, mirrors
+    * the tenant-scoped pipeline (tenant = 't'||(doc_id%3), every block
+    * key prefixed by tenant+, pregroup per tenant) and filters the
+    * output to one tenant (q63).
+    */
+  private def pipelineOracleSql(tenant: Boolean): String = {
+    val tSel = if (tenant) ", 't' || CAST(doc_id % 3 AS VARCHAR) AS tenant" else ""
+    val tCol = if (tenant) ", tenant" else ""
+    val keyPfx = if (tenant) "tenant || chr(1) || " else ""
+    val repGroup = if (tenant) "normalized, tenant" else "normalized"
+    val rmJoin = if (tenant) "USING(normalized, tenant)" else "USING(normalized)"
+    val outFilter = if (tenant) "WHERE rm.tenant = 't1'" else ""
+    val outCols =
+      if (tenant) "rm.doc_id, rm.tenant AS tenant, a.cluster_id"
+      else "rm.doc_id, a.cluster_id"
+    s"""WITH RECURSIVE
+       |t12 AS (SELECT doc_id,
+       |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 12), ' ') AS text
+       |  FROM documents),
+       |cuts AS (SELECT doc_id, text,
+       |  CAST(ceil(length(text) / 3.0) AS INT) AS a,
+       |  CAST(ceil(length(text) * 2 / 3.0) AS INT) AS b,
+       |  length(text) AS l FROM t12),
+       |nm AS (SELECT doc_id$tSel,
+       |  substr(text, 1, a) || ' ' || substr(text, a + 1, b - a) || ' ' ||
+       |  substr(text, b + 1, l - b) AS name FROM cuts),
+       |valid AS (SELECT doc_id$tCol, name FROM nm
+       |  WHERE name IS NOT NULL AND trim(name) <> '' AND length(name) <= 1000
+       |    AND NOT regexp_matches(name, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')),
+       |nrm AS (SELECT doc_id$tCol, ${O.norm("name")} AS normalized FROM valid),
+       |reps AS (SELECT min(doc_id) AS doc_id, $repGroup FROM nrm GROUP BY $repGroup),
+       |rm AS (SELECT n.doc_id$tCol, r.doc_id AS rep FROM nrm n JOIN reps r $rmJoin),
+       |kd AS (SELECT doc_id, ${keyPfx}block_key AS block_key FROM (
+       |       SELECT doc_id$tCol, unnest(${O.defaultKeysList("normalized")}) AS block_key
+       |       FROM reps WHERE normalized <> '')),
+       |ks AS (SELECT doc_id, ${keyPfx}${O.snKey("normalized")} AS block_key
+       |       FROM reps WHERE normalized <> ''),
+       |km AS (SELECT doc_id, ${keyPfx}block_key AS block_key FROM (
+       |       SELECT doc_id$tCol, unnest(${O.minhashBandKeysList("normalized")}) AS block_key
+       |       FROM reps WHERE normalized <> '')),
+       |k AS (SELECT * FROM kd UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM km),
+       |ok AS (SELECT block_key FROM k GROUP BY 1 HAVING count(*) <= 1000),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |      FROM k a JOIN ok USING(block_key) JOIN k b USING(block_key)
+       |      WHERE a.doc_id < b.doc_id),
+       |pn AS (SELECT doc_id_a, doc_id_b, na.normalized AS name_a, nb.normalized AS name_b
+       |       FROM p JOIN reps na ON na.doc_id = doc_id_a
+       |              JOIN reps nb ON nb.doc_id = doc_id_b),
+       |sc AS (SELECT doc_id_a, doc_id_b, ${O.oracleScore("name_a", "name_b")} AS score FROM pn),
+       |edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM sc WHERE score >= 0.92),
+       |und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+       |cc(node, cl) AS (SELECT s, s FROM und
+       |                 UNION
+       |                 SELECT und.d, cc.cl FROM cc JOIN und ON und.s = cc.node),
+       |lbl AS (SELECT node AS doc_id, min(cl) AS cluster_id FROM cc GROUP BY node),
+       |asgr AS (SELECT r.doc_id, coalesce(l.cluster_id, r.doc_id) AS cluster_id
+       |         FROM reps r LEFT JOIN lbl l USING(doc_id))
+       |SELECT $outCols FROM rm JOIN asgr a ON a.doc_id = rm.rep $outFilter""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -704,6 +766,30 @@ object SparkEntry {
         BlockingKeys.sortedNeighborhoodKey(col("n")).as("sn_key"))
         .where(col("sn_key").isNotNull)),
 
+    // --- EntityContext batch export (api/EntityResolver.java:454-467):
+    //     the per-entity synonyms+relationships+decisions+merge-history
+    //     bundle for EVERY entity in one multi-join pass, reduced to
+    //     scalar aggregates (the struct-array form is contextStructs,
+    //     pinned by EntityContextSpec)
+    "q61_entity_context" -> ((s, dir) => {
+      val syn = synonymsDF(s, dir).localCheckpoint(true)
+      val ents = syn.groupBy("entity_id").agg(min(col("normalized")).as("value"))
+      val dec = scoredDF(s, dir).withColumn("decision", Decisions.decide(col("score")))
+        .select("doc_id_a", "doc_id_b", "score", "decision")
+      val merges = dec.where(col("score") >= CcThreshold)
+        .select(col("doc_id_a").as("entity_id"), col("doc_id_b").as("merged_from"),
+          col("score").as("confidence"), col("doc_id_b").as("merged_seq"))
+      EntityContext.contextSummary(ents, syn, relsDF(s, dir), dec, merges)
+    }),
+
+    // --- EntitySubgraph export (api/EntityResolver.java:476-530): BFS
+    //     min-hop node set from a seed entity over the relationship graph
+    "q62_entity_subgraph" -> ((s, dir) => {
+      val seeds = s.range(1).select(lit(42L).as("entity_id"))
+      EntityContext.subgraphNodes(
+        relsDF(s, dir).select("src", "dst"), seeds, depth = 2)
+    }),
+
     // --- the flagship pipeline, value-exact: same code path as q29 but
     //     with oracle-safe weights (lev .5/jac .5, JW weight 0), so the
     //     full span-name -> validate -> normalize -> exact-pregroup ->
@@ -713,6 +799,21 @@ object SparkEntry {
       ResolvePipeline.run(s, spanDocs(s, dir),
         PipelineConfig(weights = SimilarityWeights.oracleSafe))
         .clusters.select("doc_id", "cluster_id")),
+
+    // --- tenant-scoped pipeline (tenant/TenantAwareEntityRepository.java:
+    //     50-70): block keys prefixed per tenant, exact pregroup per
+    //     tenant — cross-tenant docs never pair; output filtered to one
+    //     tenant (the scoped-lookup form)
+    "q63_tenant_pipeline" -> ((s, dir) => {
+      val docs = spanDocs(s, dir)
+        .withColumn("tenant", concat(lit("t"), col("doc_id") % 3))
+      val r = ResolvePipeline.run(s, docs,
+        PipelineConfig(weights = SimilarityWeights.oracleSafe,
+          tenantColumn = Some("tenant")))
+      r.clusters.join(docs.select("doc_id", "tenant"), Seq("doc_id"))
+        .where(col("tenant") === "t1")
+        .select("doc_id", "tenant", "cluster_id")
+    }),
 
     // --- M9: type-aware merge guard — same type + both ACTIVE
     "q54_merge_guard" -> ((s, dir) => {
@@ -1164,48 +1265,66 @@ object SparkEntry {
            |      list_sort(string_split_regex(lower(trim(n)), '\\s+')) AS s
            |      FROM nn)""".stripMargin,
 
-      "q60_pipeline_oracle" ->
-        s"""WITH RECURSIVE
-           |t12 AS (SELECT doc_id,
-           |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 12), ' ') AS text
-           |  FROM documents),
-           |cuts AS (SELECT doc_id, text,
-           |  CAST(ceil(length(text) / 3.0) AS INT) AS a,
-           |  CAST(ceil(length(text) * 2 / 3.0) AS INT) AS b,
-           |  length(text) AS l FROM t12),
-           |nm AS (SELECT doc_id,
-           |  substr(text, 1, a) || ' ' || substr(text, a + 1, b - a) || ' ' ||
-           |  substr(text, b + 1, l - b) AS name FROM cuts),
-           |valid AS (SELECT doc_id, name FROM nm
-           |  WHERE name IS NOT NULL AND trim(name) <> '' AND length(name) <= 1000
-           |    AND NOT regexp_matches(name, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')),
-           |nrm AS (SELECT doc_id, ${O.norm("name")} AS normalized FROM valid),
-           |reps AS (SELECT min(doc_id) AS doc_id, normalized FROM nrm GROUP BY normalized),
-           |rm AS (SELECT n.doc_id, r.doc_id AS rep FROM nrm n JOIN reps r USING(normalized)),
-           |kd AS (SELECT doc_id, unnest(${O.defaultKeysList("normalized")}) AS block_key
-           |       FROM reps WHERE normalized <> ''),
-           |ks AS (SELECT doc_id, ${O.snKey("normalized")} AS block_key
-           |       FROM reps WHERE normalized <> ''),
-           |km AS (SELECT doc_id, unnest(${O.minhashBandKeysList("normalized")}) AS block_key
-           |       FROM reps WHERE normalized <> ''),
-           |k AS (SELECT * FROM kd UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM km),
-           |ok AS (SELECT block_key FROM k GROUP BY 1 HAVING count(*) <= 1000),
-           |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           |      FROM k a JOIN ok USING(block_key) JOIN k b USING(block_key)
-           |      WHERE a.doc_id < b.doc_id),
-           |pn AS (SELECT doc_id_a, doc_id_b, na.normalized AS name_a, nb.normalized AS name_b
-           |       FROM p JOIN reps na ON na.doc_id = doc_id_a
-           |              JOIN reps nb ON nb.doc_id = doc_id_b),
-           |sc AS (SELECT doc_id_a, doc_id_b, ${O.oracleScore("name_a", "name_b")} AS score FROM pn),
-           |edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM sc WHERE score >= 0.92),
-           |und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
-           |cc(node, cl) AS (SELECT s, s FROM und
-           |                 UNION
-           |                 SELECT und.d, cc.cl FROM cc JOIN und ON und.s = cc.node),
-           |lbl AS (SELECT node AS doc_id, min(cl) AS cluster_id FROM cc GROUP BY node),
-           |asgr AS (SELECT r.doc_id, coalesce(l.cluster_id, r.doc_id) AS cluster_id
-           |         FROM reps r LEFT JOIN lbl l USING(doc_id))
-           |SELECT rm.doc_id, a.cluster_id FROM rm JOIN asgr a ON a.doc_id = rm.rep""".stripMargin,
+      "q61_entity_context" ->
+        s"""${ctes("scores")},
+           |${O.mentionsCte(name6Sql).stripPrefix("WITH ")},
+           |syn AS (SELECT normalized, min("value") AS "value", entity_id,
+           |        'IMPORT' AS source, CAST(0.8 AS DOUBLE) AS confidence,
+           |        count(*) AS support_count,
+           |        min(seq) AS created_seq, max(seq) AS last_confirmed_seq
+           |        FROM m GROUP BY normalized, entity_id),
+           |ents AS (SELECT entity_id, min(normalized) AS "value" FROM syn GROUP BY 1),
+           |rels AS (${O.relsSql}),
+           |ra AS (SELECT entity_id, count(*) AS n_rels,
+           |       count(DISTINCT rel_type) AS n_rel_types FROM (
+           |         SELECT src AS entity_id, rel_type FROM rels
+           |         UNION ALL SELECT dst AS entity_id, rel_type FROM rels)
+           |       GROUP BY 1),
+           |sa AS (SELECT entity_id, count(*) AS n_synonyms,
+           |       CAST(sum(support_count) AS BIGINT) AS synonym_support,
+           |       min(normalized) AS first_synonym
+           |       FROM syn GROUP BY 1),
+           |da AS (SELECT entity_id, count(*) AS n_decisions,
+           |       max(score) AS max_decision_score FROM (
+           |         SELECT doc_id_a AS entity_id, score FROM sc
+           |         UNION ALL SELECT doc_id_b AS entity_id, score FROM sc)
+           |       GROUP BY 1),
+           |ma AS (SELECT doc_id_a AS entity_id, count(*) AS n_merged_from,
+           |       max(doc_id_b) AS last_merge_seq
+           |       FROM sc WHERE score >= $CcThreshold GROUP BY 1)
+           |SELECT e.entity_id, e."value",
+           | coalesce(sa.n_synonyms, 0) AS n_synonyms,
+           | coalesce(sa.synonym_support, 0) AS synonym_support,
+           | sa.first_synonym,
+           | coalesce(ra.n_rels, 0) AS n_rels,
+           | coalesce(ra.n_rel_types, 0) AS n_rel_types,
+           | coalesce(da.n_decisions, 0) AS n_decisions,
+           | da.max_decision_score,
+           | coalesce(ma.n_merged_from, 0) AS n_merged_from,
+           | ma.last_merge_seq
+           |FROM ents e
+           |LEFT JOIN sa USING(entity_id)
+           |LEFT JOIN ra USING(entity_id)
+           |LEFT JOIN da USING(entity_id)
+           |LEFT JOIN ma USING(entity_id)""".stripMargin,
+
+      "q62_entity_subgraph" ->
+        s"""WITH rels AS (${O.relsSql}),
+           |und AS (SELECT src AS f, dst AS t FROM rels
+           |        UNION ALL SELECT dst AS f, src AS t FROM rels),
+           |l0 AS (SELECT CAST(42 AS BIGINT) AS entity_id),
+           |n1 AS (SELECT DISTINCT t AS entity_id FROM und JOIN l0 ON und.f = l0.entity_id
+           |       WHERE t NOT IN (SELECT entity_id FROM l0)),
+           |n2 AS (SELECT DISTINCT t AS entity_id FROM und JOIN n1 ON und.f = n1.entity_id
+           |       WHERE t NOT IN (SELECT entity_id FROM l0
+           |                       UNION SELECT entity_id FROM n1))
+           |SELECT entity_id, 0 AS depth FROM l0
+           |UNION ALL SELECT entity_id, 1 AS depth FROM n1
+           |UNION ALL SELECT entity_id, 2 AS depth FROM n2""".stripMargin,
+
+      "q60_pipeline_oracle" -> pipelineOracleSql(tenant = false),
+
+      "q63_tenant_pipeline" -> pipelineOracleSql(tenant = true),
 
       "q54_merge_guard" ->
         s"""${ctes("scores")},

@@ -164,14 +164,15 @@ object BlockingKeys {
     * [[minhashKeyTableHof]] (property-tested) without the per-shingle
     * allocation storm that made this stage GC-bound at high parallelism.
     */
-  def minhashKeyTable(df: DataFrame, idCol: String, text: Column): DataFrame = {
+  def minhashKeyTable(df: DataFrame, idCol: String, text: Column,
+                      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    df.select(col(idCol).as("doc_id"), text.as("__t"))
+    df.select(col(idCol).as("doc_id") +: text.as("__t") +: carry.map(col): _*)
       .where(col("__t").isNotNull && length(col("__t")) > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         explode(Bridge.column(MinhashBandKeysExpr(Bridge.expression(col("__t")))))
-          .as("block_key"))
-      .select(col("block_key"), col("doc_id"))
+          .as("block_key") +: carry.map(col): _*)
+      .select(col("block_key") +: col("doc_id") +: carry.map(col): _*)
   }
 
   /** The staged higher-order-function formulation of [[minhashKeyTable]]
@@ -224,7 +225,9 @@ object BlockingKeys {
     * table. At cluster scale this table is what gets bucketed/partitioned
     * by block_key (SURVEY.md §4).
     */
-  def explodeKeys(df: DataFrame, idCol: String, keysCol: Column): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(keysCol).as("block_key"))
-      .select(col("block_key"), col("doc_id"))
+  def explodeKeys(df: DataFrame, idCol: String, keysCol: Column,
+                  carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("doc_id") +: explode(keysCol).as("block_key") +:
+        carry.map(col): _*)
+      .select(col("block_key") +: col("doc_id") +: carry.map(col): _*)
 }

@@ -49,6 +49,17 @@ final case class PipelineConfig(
       * pregrouping groups by (normalized, type)).
       */
     typeColumn: Option[String] = None,
+    /** Multi-tenancy scoping (tenant/TenantAwareEntityRepository.java:50-70,
+      * tenant/TenantContext.java): name of a column on the input docs
+      * carrying the tenant id. Isolation is enforced at the BLOCKING
+      * layer — every block key is prefixed with the tenant, so docs of
+      * different tenants never share a key, never pair, never score and
+      * never merge (stronger and cheaper than scoring-then-filtering:
+      * zero cross-tenant work). Exact pregrouping also groups per
+      * tenant, so identical names in different tenants stay distinct
+      * entities.
+      */
+    tenantColumn: Option[String] = None,
     /** M9 canMerge, status half: name of a column on the input docs;
       * docs whose value != "ACTIVE" do not participate in matching at
       * all (the reference resolves only ACTIVE entities) and pass
@@ -121,7 +132,8 @@ object ResolvePipeline {
       cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString,
       cfg.exactPregroup.toString, cfg.useDefaultKeys.toString,
       cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString,
-      cfg.typeColumn.toString, cfg.statusColumn.toString).mkString("|")
+      cfg.typeColumn.toString, cfg.statusColumn.toString,
+      cfg.tenantColumn.toString).mkString("|")
     def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
       store match {
         case Some(s) => s.materialize(name, s.fingerprint((cfgFp +: saltParts): _*))(compute)
@@ -148,8 +160,11 @@ object ResolvePipeline {
     // M9 type half: thread the type column through pregrouping and the
     // edge filter (aliased __type so it never collides with input names)
     val typeCol = cfg.typeColumn.filter(docs.columns.contains)
+    val tenantCol = cfg.tenantColumn.filter(docs.columns.contains)
+    val tenantCarry = tenantCol.map(_ => "__tenant").toSeq
     val nameCols = Seq(col("doc_id"), col("normalized")) ++
-      typeCol.map(tc => col(tc).as("__type"))
+      typeCol.map(tc => col(tc).as("__type")) ++
+      tenantCol.map(tc => col(tc).cast("string").as("__tenant"))
 
     // ---- normalization (N1-N4)
     val normalized = stage("normalized") {
@@ -171,13 +186,15 @@ object ResolvePipeline {
     // different types must not collapse); members re-attach to their
     // rep's cluster at the end. Output-equivalent (see
     // PipelineConfig.exactPregroup).
-    val groupCols = Seq("normalized") ++ typeCol.map(_ => "__type")
+    val groupCols = Seq("normalized") ++ typeCol.map(_ => "__type") ++
+      tenantCol.map(_ => "__tenant")
     val (names, repMap) =
       if (cfg.exactPregroup) {
         val reps = stage("exact_groups") {
           allNames.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
             .select((Seq(col("doc_id"), col("normalized")) ++
-              typeCol.map(_ => col("__type"))): _*)
+              typeCol.map(_ => col("__type")) ++
+              tenantCol.map(_ => col("__tenant"))): _*)
         }
         val m = allNames
           .join(reps.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
@@ -192,18 +209,28 @@ object ResolvePipeline {
     val keyTables = Seq(
       if (cfg.useDefaultKeys)
         Some(BlockingKeys.explodeKeys(names, "doc_id",
-          BlockingKeys.defaultKeys(col("normalized"))))
+          BlockingKeys.defaultKeys(col("normalized")), tenantCarry))
       else None,
       if (cfg.useSortedNeighborhoodKeys)
         Some(names
-          .select(BlockingKeys.sortedNeighborhoodKey(col("normalized")).as("block_key"),
-            col("doc_id"))
+          .select(BlockingKeys.sortedNeighborhoodKey(col("normalized")).as("block_key") +:
+            col("doc_id") +: tenantCarry.map(col): _*)
           .where(col("block_key").isNotNull))
       else None,
       if (cfg.useMinHashLsh)
-        Some(BlockingKeys.minhashKeyTable(names, "doc_id", col("normalized")))
+        Some(BlockingKeys.minhashKeyTable(names, "doc_id", col("normalized"), tenantCarry))
       else None,
-    ).flatten
+    ).flatten.map { kt =>
+      // tenant isolation: the tenant id becomes part of the block key
+      // ( separator cannot occur in either side), so the candidate
+      // join, the block-size cap and the salting all operate per tenant
+      tenantCol match {
+        case Some(_) => kt.select(
+          concat(col("__tenant"), lit("\u0001"), col("block_key")).as("block_key"),
+          col("doc_id"))
+        case None => kt
+      }
+    }
     // The key table is consumed 4x (stats + both sides of the self-join +
     // block sizing): materialize it once — as the parquet snapshot when
     // checkpointing, as an eager localCheckpoint otherwise. This also
