@@ -43,12 +43,27 @@ object Bench {
     */
   private def scalingRun(spark: SparkSession, entities: Int, docsPerEntity: Int): (Double, Long, Long) = {
     val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "64").toInt
+    val par = spark.sparkContext.defaultParallelism
+    // Symmetric warm-up BEFORE the timer: a 1/10-size clustering run
+    // drives every hot kernel/codegen path through JIT C2 compilation.
+    // Without it the 4N run pays the same ABSOLUTE warm-up cost over a
+    // ~4x shorter wall time, which systematically deflates measured
+    // scaling efficiency (a real long-running cluster job is warm for
+    // ~100% of its life; the short benchmark run is not).
+    val warmDocs = DocGen.corpusDF(spark, math.max(500, entities / 10),
+      docsPerEntity, partitions = par, fillerTokens = filler)
+      .select("doc_id", "spans").localCheckpoint(true)
+    val warm = ResolvePipeline.run(spark, warmDocs,
+      PipelineConfig(numShufflePartitions = Some(par)))
+    warm.pairScores.count()
+    warm.clusters.select("cluster_id").distinct().count()
+    System.gc()
     // Materialize the input BEFORE the timer: generating the synthetic
     // corpus is not part of the job being measured (a real input table is
     // read from storage), and a lazy generator would otherwise re-run
     // inside every stage that consumes `docs`.
     val docs = DocGen.corpusDF(spark, entities, docsPerEntity,
-      partitions = spark.sparkContext.defaultParallelism,
+      partitions = par,
       fillerTokens = filler)
       .select("doc_id", "spans")
       .localCheckpoint(true)

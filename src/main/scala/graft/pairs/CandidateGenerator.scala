@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * The reference's full-scan fallback when blocking yields no candidates
   * (api/EntityResolutionService.java:512-524, B4) is deliberately NOT
-  * reproduced: it is O(n^2) at table scale; the north rule measures F1
-  * "at shared blocking key", where the fallback never fires.
+  * reproduced here: it is O(n^2) at table scale; the north rule measures
+  * F1 "at shared blocking key", where the fallback never fires. A BOUNDED
+  * variant (zero-candidate docs x capped sample) exists as
+  * [[graft.pipeline.PipelineConfig.orphanFallback]].
   */
 object CandidateGenerator {
 

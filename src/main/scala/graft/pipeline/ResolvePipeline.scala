@@ -60,6 +60,15 @@ final case class PipelineConfig(
       * entities.
       */
     tenantColumn: Option[String] = None,
+    /** B4, bounded (api/EntityResolutionService.java:512-524): when true,
+      * docs that blocking produced ZERO candidates for are additionally
+      * compared against a deterministic sample of at most
+      * `orphanFallbackCap` representatives (per type when typed). The
+      * reference's unbounded full scan is O(n^2) and deliberately not
+      * reproduced; the cap makes the recall trade explicit.
+      */
+    orphanFallback: Boolean = false,
+    orphanFallbackCap: Int = 1000,
     /** M9 canMerge, status half: name of a column on the input docs;
       * docs whose value != "ACTIVE" do not participate in matching at
       * all (the reference resolves only ACTIVE entities) and pass
@@ -133,7 +142,8 @@ object ResolvePipeline {
       cfg.exactPregroup.toString, cfg.useDefaultKeys.toString,
       cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString,
       cfg.typeColumn.toString, cfg.statusColumn.toString,
-      cfg.tenantColumn.toString).mkString("|")
+      cfg.tenantColumn.toString, cfg.orphanFallback.toString,
+      cfg.orphanFallbackCap.toString).mkString("|")
     def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
       store match {
         case Some(s) => s.materialize(name, s.fingerprint((cfgFp +: saltParts): _*))(compute)
@@ -244,9 +254,53 @@ object ResolvePipeline {
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
     val candStats = timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
-    val pairs = stage("candidate_pairs") {
+    val blockedPairs = stage("candidate_pairs") {
       CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }
+
+    // ---- B4, bounded (api/EntityResolutionService.java:512-524): the
+    // reference full-scans ALL active entities when blocking yields no
+    // candidates — O(n^2) at table scale. The bounded analog: only docs
+    // with ZERO candidates are compared, each against a deterministic
+    // sample of at most orphanFallbackCap reps (per type when typed), so
+    // the extra work is |orphans| x cap, never quadratic. The cap is an
+    // explicit recall trade; off by default.
+    val pairs =
+      if (!cfg.orphanFallback) blockedPairs
+      else {
+        val paired = blockedPairs.select(col("doc_id_a").as("doc_id"))
+          .union(blockedPairs.select(col("doc_id_b").as("doc_id"))).distinct()
+        val orphans = names.join(paired, Seq("doc_id"), "left_anti")
+        val sample = typeCol match {
+          case Some(_) =>
+            // per-type top-cap by doc_id; `names` is the post-pregroup
+            // rep table (already deduped), so the per-type sort is small
+            val byType = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__type")).orderBy(col("doc_id"))
+            names.withColumn("__rn", row_number().over(byType))
+              .where(col("__rn") <= cfg.orphanFallbackCap)
+              .select(col("doc_id").as("doc_id_b"),
+                col("__type").as("__type_b"))
+          case None =>
+            // TakeOrderedAndProject: distributed partial top-k, cap rows
+            names.select("doc_id").orderBy(col("doc_id"))
+              .limit(cfg.orphanFallbackCap)
+              .select(col("doc_id").as("doc_id_b"))
+        }
+        val fb0 = typeCol match {
+          case Some(_) =>
+            orphans.select(col("doc_id"), col("__type"))
+              .join(broadcast(sample), col("__type") === col("__type_b"))
+          case None =>
+            orphans.select(col("doc_id")).crossJoin(broadcast(sample))
+        }
+        val fb = fb0
+          .where(col("doc_id") =!= col("doc_id_b"))
+          .select(least(col("doc_id"), col("doc_id_b")).as("doc_id_a"),
+            greatest(col("doc_id"), col("doc_id_b")).as("doc_id_b"))
+          .distinct()
+        blockedPairs.union(fb)
+      }
 
     // ---- pairwise scoring (S1-S5) with full breakdown (D3: one row per
     // comparison, the batch MatchDecisionRecord). The composite is derived
