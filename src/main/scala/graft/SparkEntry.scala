@@ -790,6 +790,19 @@ object SparkEntry {
         relsDF(s, dir).select("src", "dst"), seeds, depth = 2)
     }),
 
+    // --- M11: merge revert with component-local recompute — only
+    //     clusters touched by a reverted edge are re-clustered; the
+    //     oracle recomputes the WHOLE graph from scratch, so a green
+    //     hash proves incremental == full recompute
+    "q64_merge_revert" -> ((s, dir) => {
+      val edges = scoredDF(s, dir).where(col("score") >= CcThreshold)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .localCheckpoint(true)
+      val clusters = ConnectedComponents.run(s, edges, documents(s, dir).select("doc_id"))
+      val reverted = edges.where((col("src") + col("dst")) % 7 === 0)
+      graft.merge.Revert.revertMerges(s, clusters, edges, reverted)
+    }),
+
     // --- the flagship pipeline, value-exact: same code path as q29 but
     //     with oracle-safe weights (lev .5/jac .5, JW weight 0), so the
     //     full span-name -> validate -> normalize -> exact-pregroup ->
@@ -1321,6 +1334,18 @@ object SparkEntry {
            |SELECT entity_id, 0 AS depth FROM l0
            |UNION ALL SELECT entity_id, 1 AS depth FROM n1
            |UNION ALL SELECT entity_id, 2 AS depth FROM n2""".stripMargin,
+
+      "q64_merge_revert" ->
+        s"""${ctes("scores")},
+           |edges2 AS (SELECT doc_id_a AS s, doc_id_b AS d FROM sc
+           |           WHERE score >= $CcThreshold AND (doc_id_a + doc_id_b) % 7 <> 0),
+           |und2 AS (SELECT s, d FROM edges2 UNION SELECT d, s FROM edges2),
+           |cc2(node, cl) AS (SELECT s, s FROM und2
+           |                  UNION
+           |                  SELECT und2.d, cc2.cl FROM cc2 JOIN und2 ON und2.s = cc2.node),
+           |lbl2 AS (SELECT node AS doc_id, min(cl) AS cluster_id FROM cc2 GROUP BY node)
+           |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           |FROM documents d LEFT JOIN lbl2 l USING(doc_id)""".stripMargin,
 
       "q60_pipeline_oracle" -> pipelineOracleSql(tenant = false),
 
