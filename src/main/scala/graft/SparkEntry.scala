@@ -18,7 +18,7 @@ import graft.media.Multimodal
 import graft.norm.Normalizer
 import graft.oracle.OracleSql
 import graft.pairs.CandidateGenerator
-import graft.pipeline.{PipelineConfig, ResolvePipeline}
+import graft.pipeline.{IncrementalResolve, PipelineConfig, ResolvePipeline}
 import graft.relations.Relationships
 import graft.review.Review
 import graft.sim.SimilarityWeights
@@ -790,6 +790,41 @@ object SparkEntry {
         relsDF(s, dir).select("src", "dst"), seeds, depth = 2)
     }),
 
+    // --- incremental resolve (the reference's PRIMARY per-record entry
+    //     point, api/EntityResolutionService.java:502-615, as a batch
+    //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
+    //     the increment blocks against existing keys + itself and attaches
+    //     via contracted-graph CC. The oracle is the FULL from-scratch
+    //     recompute over all 500 docs — the hash match proves incremental
+    //     attach is exact, including increment-bridged cluster merges.
+    "q65_incremental_resolve" -> ((s, dir) => {
+      val nn = nonBlank(s, dir).select("doc_id", "n").localCheckpoint(true)
+      def keysOf(df: DataFrame) = BlockingKeys.explodeKeys(df, "doc_id",
+        BlockingKeys.defaultKeys(col("n"))).localCheckpoint(true)
+      def edgesOf(pairs: DataFrame) = {
+        val a = nn.select(col("doc_id").as("doc_id_a"), col("n").as("name_a"))
+        val b = nn.select(col("doc_id").as("doc_id_b"), col("n").as("name_b"))
+        pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+          .withColumn("score",
+            Er.compositeScore(col("name_a"), col("name_b"), SimilarityWeights.oracleSafe))
+          .where(col("score") >= CcThreshold)
+          .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      }
+      val oldKeys = keysOf(nn.where(col("doc_id") < 400))
+      val newKeys = keysOf(nn.where(col("doc_id") >= 400))
+      val existing = ConnectedComponents.run(s,
+        edgesOf(CandidateGenerator.candidatePairs(oldKeys, MaxBlock)),
+        documents(s, dir).where(col("doc_id") < 400).select("doc_id"))
+      val newNew = edgesOf(CandidateGenerator.candidatePairs(newKeys, MaxBlock))
+      val newOldPairs = newKeys.select(col("block_key"), col("doc_id").as("doc_id_a"))
+        .join(oldKeys.select(col("block_key"), col("doc_id").as("doc_id_b")),
+          Seq("block_key"))
+        .select("doc_id_a", "doc_id_b").distinct()
+      IncrementalResolve.attach(s, existing,
+        documents(s, dir).where(col("doc_id") >= 400).select("doc_id"),
+        newNew, edgesOf(newOldPairs))
+    }),
+
     // --- M11: merge revert with component-local recompute — only
     //     clusters touched by a reverted edge are re-clustered; the
     //     oracle recomputes the WHOLE graph from scratch, so a green
@@ -1334,6 +1369,10 @@ object SparkEntry {
            |SELECT entity_id, 0 AS depth FROM l0
            |UNION ALL SELECT entity_id, 1 AS depth FROM n1
            |UNION ALL SELECT entity_id, 2 AS depth FROM n2""".stripMargin,
+
+      // full from-scratch recompute — identical chain to q08 by design
+      "q65_incremental_resolve" ->
+        s"${ctes("cc")} SELECT doc_id, cluster_id FROM asg",
 
       "q64_merge_revert" ->
         s"""${ctes("scores")},

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cluster.ConnectedComponents
+
+/** Incremental resolution — the batch analog of the reference's PRIMARY
+  * entry point, per-record `resolver.resolve(name, type)` against the
+  * existing graph (api/EntityResolutionService.java:502-615, SURVEY §3.1):
+  * a batch of NEW docs is blocked against the EXISTING entity table plus
+  * itself, scored, and attached to the existing clustering — without
+  * re-clustering the world.
+  *
+  * Exactness (why this equals a full recompute): the full merge graph is
+  * old-edges ∪ new-edges, and old-edges already collapsed into components
+  * labelled by their min member. Contracting each old component to its
+  * label and running CC over (new-new edges) ∪ (new-doc, old-label) edges
+  * yields the same components as CC over the full graph, and the same
+  * labels — a merged component's min over {old labels, new ids} equals
+  * its min over all members, because each old label IS its component's
+  * min. So incremental attach is not an approximation; q65's oracle
+  * hash-checks it against a from-scratch recursive-CTE recompute.
+  *
+  * Scale shape: the expensive inputs (existing blocking-key table B2 and
+  * cluster map) are persisted tables read back bucketed by block_key /
+  * doc_id; per increment the work is |new-keys| join |existing-keys| plus
+  * a CC over the CONTRACTED graph (one vertex per touched cluster, not
+  * per doc). A day's increment touches a vanishing fraction of a 100 TB
+  * corpus — this is the operator that makes the engine a system rather
+  * than a one-shot job. Caveat: block-size caps apply per increment (the
+  * full-recompute cap sees bigger blocks); identical results whenever no
+  * cap trips, the production recall trade otherwise.
+  */
+object IncrementalResolve {
+
+  /** Attach new docs to an existing clustering.
+    *
+    * @param existing    (doc_id, cluster_id) current assignments, labels =
+    *                    min member (the pipeline's invariant)
+    * @param newIds      (doc_id) the increment's doc ids
+    * @param newNewEdges (src, dst) merge edges within the increment
+    * @param newOldEdges (src, dst) merge edges from a new doc (src) to an
+    *                    existing doc (dst)
+    * @return (doc_id, cluster_id) for existing ∪ new docs; labels of
+    *         untouched clusters are unchanged, merged clusters take the
+    *         global min
+    */
+  def attach(spark: SparkSession, existing: DataFrame, newIds: DataFrame,
+             newNewEdges: DataFrame, newOldEdges: DataFrame): DataFrame = {
+    // contract: route new->old edges to the old doc's cluster label
+    val contracted = newOldEdges
+      .join(existing.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
+      .select(col("src"), col("cluster_id").as("dst"))
+      .unionByName(newNewEdges.select("src", "dst"))
+    val clusterReps = existing.select(col("cluster_id").as("doc_id")).distinct()
+    val vertices = newIds.select("doc_id").unionByName(clusterReps).distinct()
+    val cc = ConnectedComponents.run(spark, contracted, vertices)
+    // new docs take their component label directly; existing docs remap
+    // through their old label's new component label (identity when the
+    // cluster was untouched)
+    val newAssign = cc.join(newIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val oldRemap = existing
+      .join(cc.select(col("doc_id").as("cluster_id"), col("cluster_id").as("__new")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("__new").as("cluster_id"))
+    oldRemap.unionByName(newAssign.select("doc_id", "cluster_id"))
+  }
+}
