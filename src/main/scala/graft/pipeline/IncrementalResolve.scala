@@ -3,7 +3,12 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.blocking.BlockingKeys
 import graft.cluster.ConnectedComponents
+import graft.decide.Thresholds
+import graft.functions.Er
+import graft.pairs.CandidateGenerator
+import graft.sim.SimilarityWeights
 
 /** Incremental resolution — the batch analog of the reference's PRIMARY
   * entry point, per-record `resolver.resolve(name, type)` against the
@@ -65,5 +70,51 @@ object IncrementalResolve {
         Seq("cluster_id"))
       .select(col("doc_id"), col("__new").as("cluster_id"))
     oldRemap.unionByName(newAssign.select("doc_id", "cluster_id"))
+  }
+
+  /** Whole increment from normalized names: block the new batch against
+    * the existing names and itself (default-key strategy), score, keep
+    * edges >= threshold, [[attach]]. `existingKeys` accepts the persisted
+    * B2 key table (ideally bucketed by block_key — then the increment's
+    * key join leaves the big side exchange-free); pass None to derive keys
+    * from `existingNames` on the fly.
+    *
+    * This is the micro-batch body for a streaming `foreachBatch`
+    * increment loop (see StreamingResolveSpec): stream resolves, the
+    * clustering stays exact vs a full batch recompute.
+    */
+  def resolveNames(spark: SparkSession,
+                   existing: DataFrame,       // doc_id, cluster_id
+                   existingNames: DataFrame,  // doc_id, normalized
+                   newNames: DataFrame,       // doc_id, normalized
+                   existingKeys: Option[DataFrame] = None,
+                   weights: SimilarityWeights = SimilarityWeights.default,
+                   threshold: Double = Thresholds().autoMerge,
+                   maxBlockSize: Int = 1000): DataFrame = {
+    Er.register(spark)
+    val oldKeys = existingKeys.getOrElse(
+      BlockingKeys.explodeKeys(existingNames, "doc_id",
+        BlockingKeys.defaultKeys(col("normalized"))))
+    val newKeys = BlockingKeys.explodeKeys(newNames, "doc_id",
+      BlockingKeys.defaultKeys(col("normalized"))).localCheckpoint(true)
+    def scoreEdges(pairs: DataFrame): DataFrame = {
+      val a = existingNames.unionByName(newNames)
+        .select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
+      val b = existingNames.unionByName(newNames)
+        .select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
+      pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+        .withColumn("score", Er.compositeScore(col("name_a"), col("name_b"), weights))
+        .where(col("score") >= threshold)
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+    }
+    val newNew = scoreEdges(CandidateGenerator.candidatePairs(newKeys, maxBlockSize))
+    // old blocks beyond the cap are dropped exactly as in batch blocking
+    val okOld = oldKeys.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlockSize).select("block_key")
+    val newOldPairs = newKeys.select(col("block_key"), col("doc_id").as("doc_id_a"))
+      .join(oldKeys.join(okOld, Seq("block_key"))
+        .select(col("block_key"), col("doc_id").as("doc_id_b")), Seq("block_key"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    attach(spark, existing, newNames.select("doc_id"), newNew, scoreEdges(newOldPairs))
   }
 }

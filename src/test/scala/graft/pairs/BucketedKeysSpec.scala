@@ -52,4 +52,26 @@ class BucketedKeysSpec extends AnyFunSuite {
         s"control: plain self-join shape unexpected:\n$plainPlan")
     } finally spark.sql("DROP TABLE IF EXISTS bk_spec_keys2")
   }
+
+  test("increment join against the bucketed key table: big side exchange-free") {
+    BucketedKeys.write(keysDF, "bk_spec_keys3", buckets = 4)
+    try {
+      val old = BucketedKeys.read(spark, "bk_spec_keys3")
+      val inc = Seq((100L, "acme group")).toDF("doc_id", "n")
+      val newKeys = BlockingKeys.explodeKeys(inc, "doc_id",
+        BlockingKeys.defaultKeys(col("n")))
+        .select(col("block_key"), col("doc_id").as("doc_id_a"))
+      val joined = newKeys.join(
+        old.select(col("block_key"), col("doc_id").as("doc_id_b")), Seq("block_key"))
+      joined.collect() // finalize AQE plan
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed (big) side must not be re-hashed: either the small
+      // increment broadcasts (zero hash exchanges), or only the increment
+      // side exchanges (exactly one) — never both sides as in the
+      // unbucketed control above
+      val nExchanges = "Exchange hashpartitioning\\(block_key".r
+        .findAllIn(plan).length
+      assert(plan.contains("BroadcastHashJoin") || nExchanges <= 1, plan)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_spec_keys3")
+  }
 }

@@ -111,4 +111,42 @@ class StreamingResolveSpec extends AnyFunSuite {
     val rows = spark.table("windowed_out").collect()
     assert(rows.map(_.getLong(2)).sum == 3)
   }
+
+  test("foreachBatch incremental clustering: stream resolves, clustering stays exact") {
+    import spark.implicits._
+    import graft.pipeline.IncrementalResolve
+
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("normalized", StringType)))
+
+    // running state: clustering + names seen so far (the foreachBatch
+    // analog of the persisted cluster-map and B2 key tables)
+    var existing = Seq.empty[(String, String)].toDF("doc_id", "cluster_id")
+    var existingNames = Seq.empty[(String, String)].toDF("doc_id", "normalized")
+
+    Seq(("d1", "acme gamma"), ("d2", "acme gamma"), ("d3", "zeta omega"))
+      .toDF("doc_id", "normalized").write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val newNames = batch.select("doc_id", "normalized").localCheckpoint(true)
+      existing = IncrementalResolve.resolveNames(
+        spark, existing, existingNames, newNames).localCheckpoint(true)
+      existingNames = existingNames.unionByName(newNames).localCheckpoint(true)
+      ()
+    }.start()
+    try {
+      q.processAllAvailable()
+      Seq(("d4", "acme gamma"), ("d5", "beta fresh"), ("d6", "zeta omega"))
+        .toDF("doc_id", "normalized").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = existing.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "d1" -> "d1", "d2" -> "d1", "d4" -> "d1", // batch-2 doc joins batch-1 cluster
+      "d3" -> "d3", "d6" -> "d3",
+      "d5" -> "d5"))
+  }
 }
