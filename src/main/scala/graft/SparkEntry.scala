@@ -474,8 +474,9 @@ object SparkEntry {
           col("s.media_ref").as("media_ref"), col("s.offset").as("off"), col("name"))
     }),
 
-    // --- rows-only checks below (Jaro-Winkler / pipeline / media: not
-    //     SQL-reproducible, pinned by unit tests)
+    // --- rows-only checks below (Jaro-Winkler / default-weights pipeline
+    //     / media: not SQL-reproducible, pinned by unit tests; q29's
+    //     oracle-safe twin is q60, q31 gained a full oracle in round 3)
     "q28_jaro_winkler" -> ((s, dir) => {
       Er.register(s)
       scoredDF(s, dir).select(col("doc_id_a"), col("doc_id_b"),
@@ -1080,6 +1081,19 @@ object SparkEntry {
            |SELECT doc_id, 'text', c2, '', 2, name FROM named
            |UNION ALL
            |SELECT doc_id, 'text', c3, '', 3, name FROM named""".stripMargin,
+
+      // simhash near-dup: fingerprint MATERIALIZED once (DuckDB inlines
+      // CTEs by default and would recompute the 30-bit vote per join row),
+      // then the same two 15-bit band keys + capped join + hamming verify
+      "q31_simhash_neardup" ->
+        s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents),
+           |k AS (SELECT doc_id, sh, 'hi:' || (sh >> 15) AS bk FROM f
+           |      UNION ALL SELECT doc_id, sh, 'lo:' || (sh % 32768) AS bk FROM f),
+           |ok AS (SELECT bk FROM k GROUP BY 1 HAVING count(*) <= 10000)
+           |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           | bit_count(xor(a.sh, b.sh)) AS hamming
+           |FROM k a JOIN ok USING(bk) JOIN k b USING(bk)
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin,
 
       "q32_event_windows" ->
         s"""SELECT date_trunc('hour', ts) AS hour, event_type,
