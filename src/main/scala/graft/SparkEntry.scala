@@ -827,7 +827,7 @@ object SparkEntry {
     //     recompute over all 500 docs — the hash match proves incremental
     //     attach is exact, including increment-bridged cluster merges.
     "q65_incremental_resolve" -> ((s, dir) => {
-      val nn = nonBlank(s, dir).select("doc_id", "n").localCheckpoint(true)
+      val nn = nnDF(s, dir)
       def keysOf(df: DataFrame) = BlockingKeys.explodeKeys(df, "doc_id",
         BlockingKeys.defaultKeys(col("n"))).localCheckpoint(true)
       def edgesOf(pairs: DataFrame) = {
