@@ -819,6 +819,25 @@ object SparkEntry {
         relsDF(s, dir).select("src", "dst"), seeds, depth = 2)
     }),
 
+    // --- N6: person-rule normalization (previously unit-test-only)
+    "q66_normalize_person" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        Normalizer.normalizeColumn(col("text"), Some(Normalizer.PERSON))
+          .as("normalized"))),
+
+    // --- N5: metadata/dataset-rule normalization (previously unit-only)
+    "q67_normalize_dataset" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        Normalizer.normalizeColumn(col("text"), Some(Normalizer.DATASET))
+          .as("normalized"))),
+
+    // --- S6: non-default weight preset through the composite scorer
+    //     (editDistanceFocused minus JW for oracle safety: lev .7/jac .3)
+    "q68_weighted_scores" -> ((s, dir) => scoredDF(s, dir)
+      .withColumn("weighted", Er.compositeScore(col("name_a"), col("name_b"),
+        SimilarityWeights(0.7, 0.0, 0.3)))
+      .select("doc_id_a", "doc_id_b", "weighted")),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1411,6 +1430,19 @@ object SparkEntry {
            |SELECT entity_id, 0 AS depth FROM l0
            |UNION ALL SELECT entity_id, 1 AS depth FROM n1
            |UNION ALL SELECT entity_id, 2 AS depth FROM n2""".stripMargin,
+
+      "q66_normalize_person" ->
+        s"SELECT doc_id, ${graft.norm.Normalizer.normalizeSql("text", Some(graft.norm.Normalizer.PERSON))} AS normalized FROM documents",
+
+      "q67_normalize_dataset" ->
+        s"SELECT doc_id, ${graft.norm.Normalizer.normalizeSql("text", Some(graft.norm.Normalizer.DATASET))} AS normalized FROM documents",
+
+      "q68_weighted_scores" ->
+        s"""${ctes("scores")}
+           |SELECT doc_id_a, doc_id_b,
+           | (CASE WHEN name_a = name_b THEN 1.0
+           |  ELSE 0.7*${O.levSim("name_a", "name_b")} + 0.3*${O.tokenJaccard("name_a", "name_b")} END) AS weighted
+           |FROM pn""".stripMargin,
 
       // full from-scratch recompute — identical chain to q08 by design
       "q65_incremental_resolve" ->
