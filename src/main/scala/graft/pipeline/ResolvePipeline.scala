@@ -262,38 +262,39 @@ object ResolvePipeline {
     // reference full-scans ALL active entities when blocking yields no
     // candidates — O(n^2) at table scale. The bounded analog: only docs
     // with ZERO candidates are compared, each against a deterministic
-    // sample of at most orphanFallbackCap reps (per type when typed), so
-    // the extra work is |orphans| x cap, never quadratic. The cap is an
-    // explicit recall trade; off by default.
+    // sample of at most orphanFallbackCap reps PER SCOPE — scope = the
+    // (type, tenant) columns when configured, so the fallback respects
+    // both the M9 type guard and tenant isolation (a cross-tenant
+    // fallback pair would leak data across tenants). Extra work is
+    // |orphans| x cap, never quadratic; the cap is an explicit recall
+    // trade; off by default.
+    val scopeCols = typeCol.map(_ => "__type").toSeq ++ tenantCarry
     val pairs =
       if (!cfg.orphanFallback) blockedPairs
       else {
         val paired = blockedPairs.select(col("doc_id_a").as("doc_id"))
           .union(blockedPairs.select(col("doc_id_b").as("doc_id"))).distinct()
         val orphans = names.join(paired, Seq("doc_id"), "left_anti")
-        val sample = typeCol match {
-          case Some(_) =>
-            // per-type top-cap by doc_id; `names` is the post-pregroup
-            // rep table (already deduped), so the per-type sort is small
-            val byType = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__type")).orderBy(col("doc_id"))
-            names.withColumn("__rn", row_number().over(byType))
-              .where(col("__rn") <= cfg.orphanFallbackCap)
-              .select(col("doc_id").as("doc_id_b"),
-                col("__type").as("__type_b"))
-          case None =>
+        val fb0 =
+          if (scopeCols.isEmpty) {
             // TakeOrderedAndProject: distributed partial top-k, cap rows
-            names.select("doc_id").orderBy(col("doc_id"))
+            val sample = names.select("doc_id").orderBy(col("doc_id"))
               .limit(cfg.orphanFallbackCap)
               .select(col("doc_id").as("doc_id_b"))
-        }
-        val fb0 = typeCol match {
-          case Some(_) =>
-            orphans.select(col("doc_id"), col("__type"))
-              .join(broadcast(sample), col("__type") === col("__type_b"))
-          case None =>
             orphans.select(col("doc_id")).crossJoin(broadcast(sample))
-        }
+          } else {
+            // per-scope top-cap by doc_id; `names` is the post-pregroup
+            // rep table (already deduped), so the per-scope sort is small
+            val byScope = org.apache.spark.sql.expressions.Window
+              .partitionBy(scopeCols.map(col): _*).orderBy(col("doc_id"))
+            val sample = names.withColumn("__rn", row_number().over(byScope))
+              .where(col("__rn") <= cfg.orphanFallbackCap)
+              .select(col("doc_id").as("doc_id_b") +:
+                scopeCols.map(c => col(c).as(c + "_b")): _*)
+            orphans.select(col("doc_id") +: scopeCols.map(col): _*)
+              .join(broadcast(sample),
+                scopeCols.map(c => col(c) === col(c + "_b")).reduce(_ && _))
+          }
         val fb = fb0
           .where(col("doc_id") =!= col("doc_id_b"))
           .select(least(col("doc_id"), col("doc_id_b")).as("doc_id_a"),

@@ -42,6 +42,29 @@ class OrphanFallbackSpec extends AnyFunSuite {
       .collect()(0).getString(0) == "o1")
   }
 
+  test("fallback respects tenant isolation: orphans only sample their own tenant") {
+    import spark.implicits._
+    val tdocs = Seq(
+      ("a1", "alpha industries group", "A"),
+      ("ao", "qqqxyzzy", "A"),  // orphan in tenant A
+      ("bo", "qqqxyzzy", "B"))  // same orphan name, tenant B
+      .toDF("doc_id", "name", "tenant")
+      .select(col("doc_id"), array(struct(
+        lit("text").as("kind"), col("name").as("text"),
+        lit("").as("media_ref"), lit(0).as("offset"))).as("spans"),
+        col("tenant"))
+    val r = ResolvePipeline.run(spark, tdocs,
+      PipelineConfig(orphanFallback = true, orphanFallbackCap = 10,
+        tenantColumn = Some("tenant")))
+    // ao pairs only within tenant A; bo (alone in B) pairs with nobody —
+    // and crucially ao-bo (identical names, different tenants) never pair
+    val pairs = r.pairScores.select("doc_id_a", "doc_id_b")
+      .as[(String, String)].collect().toSet
+    assert(pairs.contains(("a1", "ao")))
+    assert(!pairs.exists { case (x, y) => Set(x, y) == Set("ao", "bo") })
+    assert(!pairs.exists { case (x, y) => x == "bo" || y == "bo" })
+  }
+
   test("cap bounds the fallback work") {
     val on = ResolvePipeline.run(spark, docs,
       PipelineConfig(orphanFallback = true, orphanFallbackCap = 1))
