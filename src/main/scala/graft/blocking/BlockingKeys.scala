@@ -198,14 +198,37 @@ object BlockingKeys {
     when(c.isNull || length(c) === 0, array().cast("array<string>"))
       .otherwise(bandKeysFromSignature(minhashSignature(c)))
 
-  /** SimHash (30-bit, fits the modulus): per-token rolling hashes vote
-    * +1/-1 on each bit; the fingerprint sets bits with positive votes.
-    * Near-duplicates have small hamming distance (use bit_count(xor)).
+  /** SimHash half-width (each rolling hash carries ~30 bits of entropy —
+    * values are mod P ~ 2^30 — so one hash family can vote on at most 30
+    * bits; the full fingerprint concatenates two independent halves).
     */
   val SimHashBits = 30
 
-  /** SimHash from a PRE-MATERIALIZED token-hash array column (same
-    * staging rationale as [[minhashSignatureFromHashes]]).
+  /** Full SimHash fingerprint width: two independent 30-bit halves
+    * (rollingHash base 31 mod P, rollingHash2 base 131 mod P2)
+    * concatenated. 60 bits splits into [[SimHashBands]] disjoint 15-bit
+    * bands: by pigeonhole, any pair at hamming distance <= SimHashBands-1
+    * = 3 agrees on at least one whole band and is GUARANTEED to become a
+    * band-join candidate; larger `maxHamming` requests are best-effort.
+    */
+  val SimHashTotalBits = 2 * SimHashBits
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashTotalBits / SimHashBands
+
+  /** Second independent prime modulus / base for the simhash high half. */
+  val P2: Long = 998244353L
+
+  /** Second rolling hash family: fold (acc*131 + codepoint) % P2. */
+  def rollingHash2(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 131L + ascii(ch)) % P2)
+
+  /** 30-bit SimHash half from a PRE-MATERIALIZED token-hash array column
+    * (same staging rationale as [[minhashSignatureFromHashes]]): per-token
+    * hashes vote +1/-1 on each bit; the fingerprint sets bits with
+    * positive votes.
     */
   def simhashFromHashes(th: Column): Column = {
     val bitTerms = (0 until SimHashBits).map { bit =>
@@ -216,7 +239,26 @@ object BlockingKeys {
     bitTerms.reduce(_ + _)
   }
 
+  /** 60-bit fingerprint from the two PRE-MATERIALIZED token-hash arrays:
+    * high half (rollingHash2 votes) << 30 | low half (rollingHash votes).
+    */
+  def simhash60FromHashes(th1: Column, th2: Column): Column =
+    simhashFromHashes(th2) * lit(1L << SimHashBits) + simhashFromHashes(th1)
+
+  /** The [[SimHashBands]] disjoint 15-bit band keys of a 60-bit
+    * fingerprint column ("b<i>:<value>"). Mirrored by the DuckDB oracle;
+    * both sides compute value = (fp >> 15*i) mod 2^15 (fp >= 0, so
+    * arithmetic shift == logical).
+    */
+  def simhashBandKeys(fp: Column): Column = {
+    val mask = (1L << SimHashBandBits) - 1
+    array((0 until SimHashBands).map { i =>
+      concat(lit(s"b$i:"), (shiftright(fp, i * SimHashBandBits) % lit(mask + 1)).cast("string"))
+    }: _*)
+  }
+
   def tokenHashes(tokensCol: Column): Column = transform(tokensCol, t => rollingHash(t))
+  def tokenHashes2(tokensCol: Column): Column = transform(tokensCol, t => rollingHash2(t))
 
   /** Single-expression form (tests only; duplicates token hashing 30x). */
   def simhash(tokensCol: Column): Column = simhashFromHashes(tokenHashes(tokensCol))

@@ -72,9 +72,12 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
-  /** SimHash near-dups: fingerprint each doc, generate candidates on two
-    * 15-bit bands of the fingerprint, verify hamming distance <=
-    * maxHamming.
+  /** SimHash near-dups: 60-bit fingerprint per doc (two independent
+    * 30-bit hash-family halves), candidates from the 4 disjoint 15-bit
+    * bands, verify hamming distance <= maxHamming. By pigeonhole the
+    * 4-band split GUARANTEES recall for hamming <= 3 (any such pair
+    * agrees on a whole band — property-tested in DedupSpec); maxHamming
+    * beyond 3 is best-effort, as is anything a block cap drops.
     *
     * The band joins route through [[graft.pairs.CandidateGenerator]] so a
     * hot band bucket (near-identical boilerplate — the normal case in
@@ -87,29 +90,29 @@ object Dedup {
                       saltedMaxBlockSize: Int = -1): DataFrame = {
     val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     // materialize the fingerprints once: they are consumed by the key
-    // table and both sides of the verify join (4x otherwise — 30
+    // table and both sides of the verify join (4x otherwise — 60
     // bit-vote aggregates per eval)
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("__th", BlockingKeys.tokenHashes(toks))
-      .withColumn("simhash", BlockingKeys.simhashFromHashes(col("__th")))
+      .withColumn("__th1", BlockingKeys.tokenHashes(toks))
+      .withColumn("__th2", BlockingKeys.tokenHashes2(toks))
+      .withColumn("simhash",
+        BlockingKeys.simhash60FromHashes(col("__th1"), col("__th2")))
       .select("doc_id", "simhash")
       .localCheckpoint(true)
-    // band on the two 15-bit halves: near-dups collide in at least one
     val keys = base.select(
-        concat(lit("hi:"), shiftright(col("simhash"), 15)).as("block_key"),
-        col("doc_id"), col("simhash"))
-      .union(base.select(
-        concat(lit("lo:"), col("simhash") % (1L << 15)).as("block_key"),
-        col("doc_id"), col("simhash")))
+      explode(BlockingKeys.simhashBandKeys(col("simhash"))).as("block_key"),
+      col("doc_id"), col("simhash"))
     if (saltedMaxBlockSize <= maxBlockSize) {
       // Fused path: the fingerprint rides the key table, so the hamming
       // filter runs INSIDE the band join's generated code and only the
-      // survivors reach dedup. The generic path (distinct over the full
-      // pair multiset, then two joins to re-attach fingerprints) paid two
-      // extra shuffles plus a distinct over every within-bucket pair —
-      // measured 12.6 s -> well under half at sf0.1 with identical output
-      // (filter-then-distinct == distinct-then-filter). Cap semantics
-      // unchanged: per-band-key row count <= maxBlockSize.
+      // survivors reach the distinct. The generic path (distinct over the
+      // full pair multiset, then two joins to re-attach fingerprints)
+      // pays two extra shuffles plus a distinct over every within-bucket
+      // pair; output is identical (filter-then-distinct ==
+      // distinct-then-filter). Cap semantics unchanged: per-band-key row
+      // count <= maxBlockSize. The dominant cost at scale is the
+      // within-bucket pair stream itself, which the 4x15-bit banding
+      // keeps selective (hot buckets = genuinely identical fingerprints).
       val ok = keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBlockSize).select("block_key")
       val l = keys.join(ok, Seq("block_key"))

@@ -26,22 +26,28 @@ final case class FrameSample(doc_id: String, media_ref: String, frame_index: Int
 
 object MediaCodec {
 
-  /** Deterministic 64-bit content hash (FNV-1a) — stands in for the real
-    * decoder's stream identity.
+  val P: Long = graft.blocking.BlockingKeys.P
+
+  /** Deterministic content hash — stands in for the real decoder's
+    * stream identity. A P-modular rolling hash (base 31, the library's
+    * standard family) rather than a 64-bit FNV: every stub quantity
+    * derived from it must be reproducible in the DuckDB oracle, and
+    * wrapping 64-bit multiplication is not portable SQL.
     */
   def contentHash(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
+    var h = 0L
     var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    while (i < bytes.length) { h = (h * 31L + (bytes(i) & 0xffL)) % P; i += 1 }
     h
   }
 
   /** STUB decode: a real implementation would parse the container /
     * codec headers. The fake derives plausible, deterministic metadata
-    * from the content hash so downstream plumbing is fully exercisable.
+    * from the content hash so downstream plumbing is fully exercisable
+    * (contentHash is in [0, P), so the modulo is already non-negative).
     */
   def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
-    val h = math.abs(contentHash(bytes) % 1000L).toInt
+    val h = (contentHash(bytes) % 1000L).toInt
     kind match {
       case "image" => (320 + h % 8 * 160, 240 + h % 6 * 120, 0L)
       case "audio" => (0, 0, 1000L + h * 37L)
@@ -52,11 +58,13 @@ object MediaCodec {
 
   /** STUB feature extraction: a real implementation would run a vision /
     * audio encoder per batch. The fake emits a deterministic 8-dim vector
-    * seeded by the content hash — same shape, partitioning and encoder
-    * contract as the real thing.
+    * seeded by a 64-bit mix of the content hash — same shape,
+    * partitioning and encoder contract as the real thing. (JVM-side only:
+    * the oracle checks the vector's shape, not its values, so the
+    * wrapping multiply is fine here.)
     */
   def featuresStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-    val h = contentHash(bytes)
+    val h = contentHash(bytes) * 0x9E3779B97F4A7C15L
     Array.tabulate(dim)(i => (((h >>> (i * 7)) & 0xff).toFloat - 128f) / 128f)
   }
 }
@@ -116,8 +124,14 @@ object Multimodal {
 
   /** Synthesize a deterministic media-bytes table from a docs table's
     * media spans (test/bench input: the container has no real media, so
-    * bytes are a seeded function of the media_ref).
+    * bytes are a seeded function of the media_ref). The byte recipe is
+    * deliberately SQL-mirrorable arithmetic (seed = rolling hash of the
+    * ref, byte i = (seed + (i+1)*K) mod 256) so the DuckDB oracle can
+    * reproduce the whole decode chain value-exactly — a java.util.Random
+    * stream would make the stub unverifiable cross-engine.
     */
+  val ByteStep: Long = 2654435761L // Knuth multiplicative constant
+
   def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
@@ -125,10 +139,9 @@ object Multimodal {
       .select(col("doc_id"), col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))
       .as[(String, String, String)]
       .map { case (docId, ref, kind) =>
-        val rng = new scala.util.Random(ref.hashCode.toLong)
-        val n = 64 + rng.nextInt(192)
-        val bytes = new Array[Byte](n)
-        rng.nextBytes(bytes)
+        val seed = ref.foldLeft(0L)((a, c) => (a * 31L + c) % MediaCodec.P)
+        val n = 64 + (seed % 192L).toInt
+        val bytes = Array.tabulate(n)(i => ((seed + (i + 1) * ByteStep) % 256L).toByte)
         MediaRow(docId, ref, kind, bytes)
       }
   }

@@ -9,10 +9,11 @@ import graft.text.TextAnalysis
   * Every fragment mirrors a Column expression in the library and is
   * generated from the SAME constants (normalization rule table, minhash
   * coefficients, stopword profiles), so the Spark implementation and the
-  * oracle cannot drift. Jaro-Winkler is deliberately absent: DuckDB's
-  * builtin implements a different variant than the reference algorithm,
-  * so JW-bearing queries are verified by golden unit tests + rows-only
-  * driver checks instead (see SimilarityWeights.oracleSafe).
+  * oracle cannot drift. Jaro-Winkler is NOT DuckDB's builtin (a different
+  * algorithm): [[jaroWinklerCtes]] ports the reference's match-window loop
+  * as a recursive CTE. Composite-score queries still use
+  * SimilarityWeights.oracleSafe (embedding the recursive JW walk inside
+  * every scoring CTE would be prohibitively slow for the big chains).
   */
 object OracleSql {
 
@@ -124,13 +125,28 @@ object OracleSql {
     s"[ ${bands.mkString(",\n  ")} ]"
   }
 
-  /** SimHash (30-bit) over a token-hash list expression. */
-  def simhash(tokensExpr: String): String = {
-    val th = s"list_transform($tokensExpr, t -> ${rollingHash("t")})"
+  /** Second rolling hash family (base 131 mod P2), the simhash high half. */
+  def rollingHash2(c: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       | list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       | (acc, x) -> (acc*131 + x) % ${BlockingKeys.P2})""".stripMargin
+
+  /** 30-bit SimHash half over a token-hash list expression. */
+  private def simhashVotes(th: String): String = {
     val bits = (0 until BlockingKeys.SimHashBits).map { b =>
       s"(CASE WHEN list_sum(list_transform($th, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
     }
     s"(${bits.mkString(" + ")})"
+  }
+
+  /** 60-bit SimHash fingerprint over a token-list expression — mirrors
+    * BlockingKeys.simhash60FromHashes (high half = rollingHash2 votes).
+    */
+  def simhash(tokensExpr: String): String = {
+    val th1 = s"list_transform($tokensExpr, t -> ${rollingHash("t")})"
+    val th2 = s"list_transform($tokensExpr, t -> ${rollingHash2("t")})"
+    // CAST: the vote sum is INT32 in DuckDB and the band shift overflows it
+    s"(CAST(${simhashVotes(th2)} AS BIGINT) * ${1L << BlockingKeys.SimHashBits} + ${simhashVotes(th1)})"
   }
 
   /** Lowercase whitespace tokens (empties dropped). */
@@ -170,6 +186,83 @@ object OracleSql {
        | $base * exp(-0.001 * greatest($days, 0.0))
        | + (CASE WHEN $support <= 0 THEN 0.0
        |    ELSE least(ln(1.0 + $support) * 0.05, 0.15) END)))""".stripMargin
+
+  /** Recursive-CTE port of the reference Jaro-Winkler
+    * (similarity/JaroWinklerSimilarity.java:9-110, mirrored by
+    * graft.sim.JaroWinkler): DuckDB's builtin jaro_winkler_similarity is a
+    * DIFFERENT algorithm (boosts regardless of threshold, different match
+    * accounting on multi-word strings), so the oracle walks the reference's
+    * greedy match-window assignment itself — one recursion step per s1
+    * character, per-pair state = (match flags, match count) — then counts
+    * transpositions over the matched subsequences and applies the Winkler
+    * prefix boost with the exact IEEE operation order of the Scala kernel
+    * (validated bit-exact on 310 adversarial pairs incl. the golden
+    * vectors; tools/jw_proto.py is the dev harness).
+    *
+    * Expects an in-scope CTE `pn(doc_id_a, doc_id_b, name_a, name_b)`
+    * (unique per pair) inside a WITH RECURSIVE chain; emits CTEs ending in
+    * `jwsc(doc_id_a, doc_id_b, jw_score)` covering ALL pn rows (the
+    * equal-name short-circuit included).
+    */
+  val jaroWinklerCtes: String = {
+    import graft.sim.JaroWinkler.{DefaultScalingFactor, MaxPrefixLength}
+    s"""jprep AS (SELECT doc_id_a, doc_id_b,
+       |  string_split(name_a, '') AS c1, string_split(name_b, '') AS c2,
+       |  length(name_a) AS l1, length(name_b) AS l2,
+       |  greatest(0, greatest(length(name_a), length(name_b)) // 2 - 1) AS mw
+       |  FROM pn WHERE name_a <> name_b),
+       |jwrec(doc_id_a, doc_id_b, i, matches, m1, m2) AS (
+       |  SELECT doc_id_a, doc_id_b, 1, 0,
+       |    list_transform(c1, x -> false), list_transform(c2, x -> false)
+       |  FROM jprep
+       |  UNION ALL
+       |  SELECT doc_id_a, doc_id_b, i + 1,
+       |    CASE WHEN jf IS NULL THEN matches ELSE matches + 1 END,
+       |    CASE WHEN jf IS NULL THEN m1
+       |         ELSE list_transform(generate_series(1, l1),
+       |                p -> CASE WHEN p = i THEN true ELSE m1[p] END) END,
+       |    CASE WHEN jf IS NULL THEN m2
+       |         ELSE list_transform(generate_series(1, l2),
+       |                p -> CASE WHEN p = jf THEN true ELSE m2[p] END) END
+       |  FROM (
+       |    SELECT r.doc_id_a, r.doc_id_b, r.i, r.matches, r.m1, r.m2, p.l1, p.l2,
+       |      list_min(list_filter(
+       |        generate_series(greatest(1, r.i - p.mw), least(r.i + p.mw, p.l2)),
+       |        jj -> NOT r.m2[jj] AND p.c1[r.i] = p.c2[jj])) AS jf
+       |    FROM jwrec r JOIN jprep p USING (doc_id_a, doc_id_b)
+       |    WHERE r.i <= p.l1)
+       |),
+       |jfin AS (
+       |  SELECT f.doc_id_a, f.doc_id_b, f.matches, f.m1, f.m2, p.c1, p.c2, p.l1, p.l2
+       |  FROM jwrec f JOIN jprep p USING (doc_id_a, doc_id_b)
+       |  WHERE f.i = p.l1 + 1),
+       |jtr AS (
+       |  SELECT doc_id_a, doc_id_b, matches, l1, l2, c1, c2,
+       |    list_transform(list_filter(generate_series(1, l1), i -> m1[i]), i -> c1[i]) AS ms1,
+       |    list_transform(list_filter(generate_series(1, l2), i -> m2[i]), i -> c2[i]) AS ms2
+       |  FROM jfin),
+       |jjaro AS (
+       |  SELECT doc_id_a, doc_id_b, l1, l2, c1, c2, matches,
+       |    CASE WHEN matches = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE ((CAST(matches AS DOUBLE) / l1) + (CAST(matches AS DOUBLE) / l2)
+       |          + ((CAST(matches AS DOUBLE)
+       |              - len(list_filter(generate_series(1, len(ms1)), i -> ms1[i] <> ms2[i]))
+       |                / CAST(2.0 AS DOUBLE))
+       |             / CAST(matches AS DOUBLE))) / CAST(3.0 AS DOUBLE) END AS jaro
+       |  FROM jtr),
+       |jwsc AS (
+       |  SELECT doc_id_a, doc_id_b, CAST(1.0 AS DOUBLE) AS jw_score
+       |  FROM pn WHERE name_a = name_b
+       |  UNION ALL
+       |  SELECT doc_id_a, doc_id_b,
+       |    CASE WHEN matches = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE jaro
+       |      + coalesce(list_min(list_filter(
+       |            generate_series(1, least($MaxPrefixLength, least(l1, l2))), i -> c1[i] <> c2[i])) - 1,
+       |          least($MaxPrefixLength, least(l1, l2)))
+       |        * CAST($DefaultScalingFactor AS DOUBLE) * (CAST(1.0 AS DOUBLE) - jaro) END
+       |  FROM jjaro)""".stripMargin
+  }
 
   /** Mention CTE for the synonym lifecycle: raw first-6-token value,
     * normalized name (caller passes the name6 expression), exact-match

@@ -57,7 +57,10 @@ final case class PipelineConfig(
       * never merge (stronger and cheaper than scoring-then-filtering:
       * zero cross-tenant work). Exact pregrouping also groups per
       * tenant, so identical names in different tenants stay distinct
-      * entities.
+      * entities. NULL tenant values are coalesced to a reserved
+      * "null" tenant: such docs match ONLY each other (a null
+      * would otherwise null out the prefixed key and silently drop the
+      * doc from every block — singleton with no warning).
       */
     tenantColumn: Option[String] = None,
     /** B4, bounded (api/EntityResolutionService.java:512-524): when true,
@@ -174,7 +177,9 @@ object ResolvePipeline {
     val tenantCarry = tenantCol.map(_ => "__tenant").toSeq
     val nameCols = Seq(col("doc_id"), col("normalized")) ++
       typeCol.map(tc => col(tc).as("__type")) ++
-      tenantCol.map(tc => col(tc).cast("string").as("__tenant"))
+      // coalesce NULL tenants to a reserved id (see tenantColumn scaladoc)
+      tenantCol.map(tc =>
+        coalesce(col(tc).cast("string"), lit("\u0002null")).as("__tenant"))
 
     // ---- normalization (N1-N4)
     val normalized = stage("normalized") {
@@ -284,7 +289,12 @@ object ResolvePipeline {
             orphans.select(col("doc_id")).crossJoin(broadcast(sample))
           } else {
             // per-scope top-cap by doc_id; `names` is the post-pregroup
-            // rep table (already deduped), so the per-scope sort is small
+            // rep table (already deduped), so the per-scope sort is small.
+            // NO broadcast hint here: the sample is cap x |scopes| rows,
+            // and with many (type, tenant) scopes an unconditional
+            // broadcast could exceed the broadcast limit — AQE broadcasts
+            // it when it measures small and falls back to a shuffle join
+            // otherwise, which is exactly the bound we want.
             val byScope = org.apache.spark.sql.expressions.Window
               .partitionBy(scopeCols.map(col): _*).orderBy(col("doc_id"))
             val sample = names.withColumn("__rn", row_number().over(byScope))
@@ -292,7 +302,7 @@ object ResolvePipeline {
               .select(col("doc_id").as("doc_id_b") +:
                 scopeCols.map(c => col(c).as(c + "_b")): _*)
             orphans.select(col("doc_id") +: scopeCols.map(col): _*)
-              .join(broadcast(sample),
+              .join(sample,
                 scopeCols.map(c => col(c) === col(c + "_b")).reduce(_ && _))
           }
         val fb = fb0

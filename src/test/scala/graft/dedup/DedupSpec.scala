@@ -36,6 +36,39 @@ class DedupSpec extends AnyFunSuite {
     assert(found.contains((1L, 2L)) && found.contains((3L, 4L)))
   }
 
+  test("simhash banding: every hamming<=3 pair is found (pigeonhole guarantee)") {
+    // 60 docs = token-level perturbations of two base sentences; the
+    // 4x15-bit disjoint banding must surface EVERY pair whose 60-bit
+    // fingerprints differ in <= SimHashBands-1 = 3 bits (no cap in play)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base1 = Seq.tabulate(12)(i => words(i % words.length))
+    val base2 = words.reverse
+    val texts = (0 until 30).map { i =>
+      base1.updated(i % 12, words((i * 5 + 1) % 12)).mkString(" ")
+    } ++ (0 until 30).map { i =>
+      base2.updated((i * 7) % 12, words((i * 3 + 2) % 12)).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = filter(split(lower(col("text")), "\\s+"), x => length(x) > 0)
+    val fps = df
+      .withColumn("th1", BlockingKeys.tokenHashes(toks))
+      .withColumn("th2", BlockingKeys.tokenHashes2(toks))
+      .select(col("doc_id"), BlockingKeys.simhash60FromHashes(col("th1"), col("th2")))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must contain hamming<=3 pairs")
+    val found = Dedup.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 3, maxBlockSize = 100000)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(found),
+      s"missing guaranteed pairs: ${expected.diff(found)}")
+    assert(found == expected, "found pairs beyond hamming 3")
+  }
+
   test("simhashNearDups: exact dups at hamming 0; block cap drops hot bands") {
     val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
       .select("doc_id_a", "doc_id_b", "hamming").as[(Long, Long, Int)].collect()

@@ -34,12 +34,16 @@ def canon(rows, cols):
     return [tuple(cols[i] for i in order)] + out
 
 def normtype(t):
-    """Collapse arrow-type differences the driver's hash tolerates
-    (observed in CORRECTNESS_r02: int32-vs-int64 and timestamp-unit
-    mismatches hash fine; decimal128-vs-int64 does NOT — DuckDB's
-    sum(BIGINT)->HUGEINT promotion was the only hash-breaking case)."""
+    """Collapse ONLY the arrow-type differences the driver's hash has been
+    OBSERVED to tolerate: int32-vs-int64 (CORRECTNESS_r02: row_number/len/
+    year queries emitted int32 on one side, int64 on the other, and
+    hash-matched) and timestamp-unit mismatches (same round, us-vs-ns).
+    Everything else — including narrower ints, unsigned ints and
+    decimal128 (DuckDB's sum(BIGINT)->HUGEINT promotion, the r02
+    hash-breaker) — is compared verbatim, so an untested width mismatch
+    fails HERE rather than passing locally and failing in the driver."""
     s = str(t)
-    if s in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"):
+    if s in ("int32", "int64"):
         return "int"
     if s.startswith("timestamp"):
         return "timestamp"
