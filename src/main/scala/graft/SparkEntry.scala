@@ -930,7 +930,10 @@ object SparkEntry {
       val edges = scoredDF(s, dir).where(col("score") >= CcThreshold)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
         .localCheckpoint(true)
-      val clusters = ConnectedComponents.run(s, edges, documents(s, dir).select("doc_id"))
+      // pre-revert clusters = exactly the memoized q08 CC labels (same
+      // edges, same threshold) — rebuilding them from scratch doubled
+      // this query's cost for no coverage gain
+      val clusters = ccDF(s, dir)
       val reverted = edges.where((col("src") + col("dst")) % 7 === 0)
       graft.merge.Revert.revertMerges(s, clusters, edges, reverted)
     }),
