@@ -1087,14 +1087,14 @@ object SparkEntry {
            |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key FROM docs150),
            |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
            |      FROM k a JOIN k b USING(block_key) WHERE a.doc_id < b.doc_id),
-           |sh AS (SELECT doc_id, text, ${O.shingles("text")} AS s FROM docs150),
-           |pr AS (SELECT doc_id_a, doc_id_b, da.text = db.text AS same,
+           |sh AS (SELECT doc_id, ${O.shingleHashes60("text")} AS s FROM docs150),
+           |pr AS (SELECT doc_id_a, doc_id_b,
            |       len(list_intersect(da.s, db.s)) AS i, len(da.s) AS la, len(db.s) AS lb
            |       FROM p JOIN sh da ON da.doc_id = doc_id_a JOIN sh db ON db.doc_id = doc_id_b)
            |SELECT doc_id_a, doc_id_b,
-           | CASE WHEN same THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) END AS jaccard
+           | CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
            |FROM pr
-           |WHERE CASE WHEN same THEN 1.0 ELSE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) END >= 0.5""".stripMargin,
+           |WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5""".stripMargin,
 
       "q28_jaro_winkler" ->
         s"""${ctes("scores")},

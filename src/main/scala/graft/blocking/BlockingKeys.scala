@@ -132,6 +132,18 @@ object BlockingKeys {
   def shingleHashes(c: Column, n: Int = 3): Column =
     transform(shingles(c, n), sh => rollingHash(sh))
 
+  /** 60-bit shingle hashes (two independent 30-bit families combined):
+    * the shingle-set identity used by the near-dup VERIFY joins. Longs
+    * intersect ~an order of magnitude faster than 3-char UTF8 strings
+    * (primitive OpenHashSet, 8-byte elements through the shuffle), and
+    * collision odds per pair are |A||B|/2^60 ~ 1e-13 — deterministic and
+    * mirrored exactly by the DuckDB oracle, so a collision (if one ever
+    * occurred) would still verify value-identically cross-engine.
+    */
+  def shingleHashes60(c: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(c, n),
+      sh => rollingHash(sh) * lit(1L << SimHashBits) + rollingHash2(sh)))
+
   /** MinHash signature from a PRE-MATERIALIZED shingle-hash array column.
     * Keep the shingle-hash array in its own projection (withColumn) — the
     * 16 per-permutation minima each reference that column, so the O(text)

@@ -48,26 +48,30 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidates: docs sharing any LSH band key,
-    * verified with true shingle Jaccard >= threshold. Returns
-    * (doc_id_a, doc_id_b, jaccard). The band join is the scale path:
-    * candidates per doc are O(collisions), not O(n).
+    * verified with shingle Jaccard >= threshold over 60-bit shingle
+    * hashes ([[BlockingKeys.shingleHashes60]] — long sets intersect ~10x
+    * faster than string sets and the verify join ships 8-byte elements
+    * instead of 3-char UTF8 strings; collision odds ~1e-13/pair, and the
+    * oracle hashes identically). Returns (doc_id_a, doc_id_b, jaccard).
+    * The band join is the scale path: candidates per doc are
+    * O(collisions), not O(n). No text columns ride the join: equal texts
+    * have equal hash sets and score exactly 1.0 arithmetically.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, maxBlockSize: Int = 10000): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    // shingle sets staged ONCE per doc (their own projection), so the
-    // verify join does a single array_intersect per pair — not a
+    // hashed shingle sets staged ONCE per doc (their own projection), so
+    // the verify join does a single long-set intersect per pair — not a
     // re-shingling of both texts per candidate
-    val sh = base.withColumn("__s", BlockingKeys.shingles(col("text")))
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"), col("__s").as("s_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
+    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
+    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
     val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
     pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("jaccard",
-        when(col("text_a") === col("text_b"), lit(1.0))
-          .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)))
+        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -152,18 +156,20 @@ object Dedup {
     require(threshold > 0.0,
       "ngramJaccardPairs is exact only for threshold > 0 (pairs sharing no shingle score 0)")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // block AND verify on the 60-bit shingle hashes: every pair sharing a
+    // shingle shares its hash key (full recall preserved), and both the
+    // key shuffle and the verify intersect move 8-byte longs
     val keys = base
-      .select(col("doc_id"), explode(BlockingKeys.shingles(col("text"))).as("block_key"))
+      .select(col("doc_id"), explode(BlockingKeys.shingleHashes60(col("text"))).as("block_key"))
       .select("block_key", "doc_id")
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    val sh = base.withColumn("__s", BlockingKeys.shingles(col("text")))
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"), col("__s").as("s_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
+    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
+    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
     val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
     pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("jaccard",
-        when(col("text_a") === col("text_b"), lit(1.0))
-          .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)))
+        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

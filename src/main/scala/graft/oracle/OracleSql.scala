@@ -84,6 +84,14 @@ object OracleSql {
        |   i -> substr($c, CAST(i AS INT), $n)))
        | ELSE [$c] END)""".stripMargin
 
+  /** 60-bit shingle hashes — mirrors BlockingKeys.shingleHashes60 (the
+    * near-dup verify identity; both engines hash identically, so even a
+    * collision would verify value-identically).
+    */
+  def shingleHashes60(c: String): String =
+    s"""list_distinct(list_transform(${shingles(c)},
+       | sh -> ${rollingHash("sh")} * ${1L << BlockingKeys.SimHashBits} + ${rollingHash2("sh")}))""".stripMargin
+
   /** Shingle Jaccard (character n-grams). */
   def shingleJaccard(a: String, b: String): String = {
     val sa = shingles(a)
