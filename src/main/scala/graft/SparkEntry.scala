@@ -402,12 +402,12 @@ object SparkEntry {
     // --- L1: exact match on normalized name (+type/ACTIVE filter analog)
     "q09_exact_match" -> ((s, dir) => {
       val w = Window.partitionBy(col("n"))
-      nonBlank(s, dir).select(col("doc_id"), min(col("doc_id")).over(w).as("entity_id"))
+      nnDF(s, dir).select(col("doc_id"), min(col("doc_id")).over(w).as("entity_id"))
     }),
 
     // --- L2: synonym lookup (dict = every 10th doc's name)
     "q10_synonym_lookup" -> ((s, dir) => {
-      val nn = nonBlank(s, dir).select("doc_id", "n")
+      val nn = nnDF(s, dir)
       val dict = nn.where(col("doc_id") % 10 === 0)
         .select(col("n"), col("doc_id").as("entity_id"))
       nn.join(dict, Seq("n")).select("doc_id", "entity_id")
@@ -840,7 +840,7 @@ object SparkEntry {
 
     // --- B5: sorted-neighborhood blocking keys (previously unit-only)
     "q55_sorted_neighborhood" -> ((s, dir) =>
-      nonBlank(s, dir).select(col("doc_id"),
+      nnDF(s, dir).select(col("doc_id"),
         BlockingKeys.sortedNeighborhoodKey(col("n")).as("sn_key"))
         .where(col("sn_key").isNotNull)),
 

@@ -127,29 +127,47 @@ object ResolvePipeline {
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))
-    // Stage fingerprints = config + input identity (count + an
-    // order-independent hash sum over id AND content), so a different
-    // input table — same ids, changed spans included — can never be
-    // silently resumed from a stale snapshot.
-    val inputFp = store.map { _ =>
-      val row = docs.agg(
+    // Stage fingerprints are DEPENDENCY-SCOPED and chained: each stage's
+    // fingerprint = its upstream stage's fingerprint + only the config
+    // that stage actually consumes. Re-running with, say, new similarity
+    // weights resumes the (expensive) normalize/key/pair snapshots and
+    // recomputes only scoring onward — at 100 TB, threshold/weight tuning
+    // iterations cost one scoring pass, not the whole pipeline. The root
+    // of the chain is the input identity (count + an order-independent
+    // hash sum over id AND content), so a different input table — same
+    // ids, changed spans included — can never be silently resumed from a
+    // stale snapshot.
+    def contentFp(df: DataFrame, cols: Seq[String]): String = {
+      val row = df.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(col("doc_id"), to_json(col("spans")))
+        coalesce(sum(xxhash64(cols.map(col): _*)
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).collect()(0)
       s"${row.get(0)}:${row.get(1)}"
+    }
+    val inputFp = store.map { _ =>
+      contentFp(docs.select(col("doc_id"), to_json(col("spans")).as("j")),
+        Seq("doc_id", "j"))
     }.getOrElse("")
-    val cfgFp = Seq(
-      inputFp,
-      cfg.weights.toString, cfg.thresholds.toString, cfg.entityType.toString,
-      cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString,
-      cfg.exactPregroup.toString, cfg.useDefaultKeys.toString,
-      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString,
-      cfg.typeColumn.toString, cfg.statusColumn.toString,
-      cfg.tenantColumn.toString, cfg.orphanFallback.toString,
-      cfg.orphanFallbackCap.toString).mkString("|")
-    def stage(name: String, saltParts: String*)(compute: => DataFrame): DataFrame =
+    def fp(parts: String*): String =
+      store.map(_.fingerprint(parts: _*)).getOrElse("")
+    val fpNormalized = fp(inputFp, cfg.entityType.toString, cfg.statusColumn.toString)
+    val fpGroups = fp(fpNormalized, cfg.exactPregroup.toString,
+      cfg.typeColumn.toString, cfg.tenantColumn.toString)
+    val fpKeys = fp(fpGroups, cfg.useDefaultKeys.toString,
+      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString)
+    val fpPairs = fp(fpKeys, cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString)
+    val fpScores = fp(fpPairs, cfg.weights.toString, cfg.thresholds.toString,
+      cfg.orphanFallback.toString, cfg.orphanFallbackCap.toString)
+    // D7 override edges are DATA, not config — content-fingerprint them
+    // (a changed approval set must invalidate the clusters snapshot)
+    val overrideFp = store.map { _ =>
+      overrideEdges.map(o => contentFp(o.select("src", "dst"), Seq("src", "dst")))
+        .getOrElse("none")
+    }.getOrElse("")
+    val fpClusters = fp(fpScores, overrideFp)
+    def stage(name: String, stageFp: String)(compute: => DataFrame): DataFrame =
       store match {
-        case Some(s) => s.materialize(name, s.fingerprint((cfgFp +: saltParts): _*))(compute)
+        case Some(s) => s.materialize(name, stageFp)(compute)
         case None => compute
       }
 
@@ -182,7 +200,7 @@ object ResolvePipeline {
         coalesce(col(tc).cast("string"), lit("\u0002null")).as("__tenant"))
 
     // ---- normalization (N1-N4)
-    val normalized = stage("normalized") {
+    val normalized = stage("normalized", fpNormalized) {
       matchable.withColumn("normalized",
         graft.norm.Normalizer.normalizeColumn(col("name"), cfg.entityType))
     }
@@ -205,7 +223,7 @@ object ResolvePipeline {
       tenantCol.map(_ => "__tenant")
     val (names, repMap) =
       if (cfg.exactPregroup) {
-        val reps = stage("exact_groups") {
+        val reps = stage("exact_groups", fpGroups) {
           allNames.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
             .select((Seq(col("doc_id"), col("normalized")) ++
               typeCol.map(_ => col("__type")) ++
@@ -251,7 +269,7 @@ object ResolvePipeline {
     // checkpointing, as an eager localCheckpoint otherwise. This also
     // avoids re-running the minhash shingle hashing per consumer.
     val keys = store match {
-      case Some(_) => stage("blocking_keys")(keyTables.reduce(_ union _))
+      case Some(_) => stage("blocking_keys", fpKeys)(keyTables.reduce(_ union _))
       case None => timed("keys.localCheckpoint") {
         keyTables.reduce(_ union _).localCheckpoint(true)
       }
@@ -259,7 +277,7 @@ object ResolvePipeline {
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
     val candStats = timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
-    val blockedPairs = stage("candidate_pairs") {
+    val blockedPairs = stage("candidate_pairs", fpPairs) {
       CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }
 
@@ -355,7 +373,7 @@ object ResolvePipeline {
     // StageStore the parquet snapshot is that barrier; without one, an
     // eager localCheckpoint is.
     val pairScores = store match {
-      case Some(_) => stage("pair_scores")(scoredPlan)
+      case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
       case None => timed("pairScores.localCheckpoint")(scoredPlan.localCheckpoint(true))
     }
 
@@ -395,7 +413,7 @@ object ResolvePipeline {
     }
     val vertices = names.select("doc_id")
     val repAssignments = timed("cc") {
-      stage("clusters") {
+      stage("clusters", fpClusters) {
         ConnectedComponents.run(spark, edges, vertices)
       }
     }

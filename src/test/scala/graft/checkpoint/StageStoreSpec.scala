@@ -142,6 +142,62 @@ class StageStoreSpec extends AnyFunSuite {
       "interrupted stage must recommit on resume")
   }
 
+  test("stage-scoped fingerprints: weight change resumes blocking, recomputes scoring") {
+    val docs = DocGen.corpusDF(spark, entities = 10, docsPerEntity = 3)
+      .select("doc_id", "spans")
+    val root = tmpDir("graft-scoped")
+    val cfgA = PipelineConfig(checkpointRoot = Some(root))
+    ResolvePipeline.run(spark, docs, cfgA).clusters.count()
+    def mtime(stage: String) =
+      Files.getLastModifiedTime(Paths.get(root, stage, "MANIFEST.json"))
+    val keysBefore = mtime("blocking_keys")
+    val pairsBefore = mtime("candidate_pairs")
+    val scoresBefore = mtime("pair_scores")
+
+    val cfgB = cfgA.copy(weights = graft.sim.SimilarityWeights.oracleSafe)
+    val outB = ResolvePipeline.run(spark, docs, cfgB)
+      .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    assert(mtime("blocking_keys") == keysBefore,
+      "blocking keys do not depend on weights and must be resumed")
+    assert(mtime("candidate_pairs") == pairsBefore,
+      "candidate pairs do not depend on weights and must be resumed")
+    assert(mtime("pair_scores") != scoresBefore,
+      "scoring depends on weights and must be recomputed")
+
+    val fresh = ResolvePipeline.run(spark, docs,
+      cfgB.copy(checkpointRoot = Some(tmpDir("graft-scoped-fresh"))))
+      .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    assert(outB.toSeq == fresh.toSeq,
+      "partially-resumed run must equal a from-scratch run with the new weights")
+  }
+
+  test("override edges are content-fingerprinted: changed approvals invalidate clusters") {
+    import spark.implicits._
+    val docs = DocGen.corpusDF(spark, entities = 10, docsPerEntity = 3)
+      .select("doc_id", "spans")
+    // docsPerEntity = 3: positions 0/3/6 belong to three DIFFERENT
+    // entities, so the two override edges bridge different cluster pairs
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .limit(7).collect().map(_.getString(0)).zipWithIndex
+      .collect { case (id, i) if i % 3 == 0 => id }
+    val root = tmpDir("graft-override")
+    val cfg = PipelineConfig(checkpointRoot = Some(root))
+    def runWith(e: (String, String)) =
+      ResolvePipeline.run(spark, docs, cfg,
+        overrideEdges = Some(Seq(e).toDF("src", "dst")))
+        .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    val out1 = runWith((ids(0), ids(1)))
+    val out2 = runWith((ids(0), ids(2)))
+    val fresh2 = ResolvePipeline.run(spark, docs,
+      cfg.copy(checkpointRoot = Some(tmpDir("graft-override-fresh"))),
+      overrideEdges = Some(Seq((ids(0), ids(2))).toDF("src", "dst")))
+      .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    assert(out2.toSeq == fresh2.toSeq,
+      "a changed approval set must invalidate the clusters snapshot, not resume it")
+    assert(out1.toSeq != out2.toSeq || ids.length < 3,
+      "fixture should produce different clusterings for different overrides")
+  }
+
   test("killed run resumes mid-pipeline with byte-identical output") {
     val docs = DocGen.corpusDF(spark, entities = 10, docsPerEntity = 3)
       .select("doc_id", "spans")
