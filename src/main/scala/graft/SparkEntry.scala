@@ -483,15 +483,11 @@ object SparkEntry {
       Dedup.minhashNearDups(documents(s, dir).where(col("doc_id") < 500),
         "doc_id", "text", threshold = 0.5)),
 
-    // --- SimHash fingerprints (60-bit: two independent 30-bit halves)
-    "q19_simhash" -> ((s, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    // --- SimHash fingerprints (60-bit, native one-pass kernel; the
+    //     staged HOF chain is the executable spec it is tested against)
+    "q19_simhash" -> ((s, dir) =>
       documents(s, dir)
-        .withColumn("__th1", BlockingKeys.tokenHashes(toks))
-        .withColumn("__th2", BlockingKeys.tokenHashes2(toks))
-        .select(col("doc_id"),
-          BlockingKeys.simhash60FromHashes(col("__th1"), col("__th2")).as("simhash"))
-    }),
+        .select(col("doc_id"), BlockingKeys.simhash60(col("text")).as("simhash"))),
 
     // --- token counting (whitespace + BPE-ish)
     "q20_token_stats" -> ((s, dir) =>

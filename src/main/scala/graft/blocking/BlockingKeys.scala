@@ -253,9 +253,22 @@ object BlockingKeys {
 
   /** 60-bit fingerprint from the two PRE-MATERIALIZED token-hash arrays:
     * high half (rollingHash2 votes) << 30 | low half (rollingHash votes).
+    * This staged HOF form is the executable spec the native kernel is
+    * property-tested against; pipelines should use [[simhash60]].
     */
   def simhash60FromHashes(th1: Column, th2: Column): Column =
     simhashFromHashes(th2) * lit(1L << SimHashBits) + simhashFromHashes(th1)
+
+  /** Native one-pass 60-bit fingerprint of a raw text column
+    * ([[SimhashKernel]]): tokenizes, hashes both families and votes all
+    * 60 bits as the bytes stream by — the HOF form walks the token-hash
+    * array once per bit (60 traversals) plus a split allocation per
+    * rolling hash.
+    */
+  def simhash60(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(Simhash60Expr(Bridge.expression(text)))
+  }
 
   /** The [[SimHashBands]] disjoint 15-bit band keys of a 60-bit
     * fingerprint column ("b<i>:<value>"). Mirrored by the DuckDB oracle;

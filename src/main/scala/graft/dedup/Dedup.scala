@@ -92,16 +92,10 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBlockSize: Int = 10000,
                       saltedMaxBlockSize: Int = -1): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
-    // materialize the fingerprints once: they are consumed by the key
-    // table and both sides of the verify join (4x otherwise — 60
-    // bit-vote aggregates per eval)
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("__th1", BlockingKeys.tokenHashes(toks))
-      .withColumn("__th2", BlockingKeys.tokenHashes2(toks))
-      .withColumn("simhash",
-        BlockingKeys.simhash60FromHashes(col("__th1"), col("__th2")))
-      .select("doc_id", "simhash")
+    // materialize the fingerprints once (native one-pass kernel): they
+    // are consumed by the key table and both sides of the verify join
+    val base = df.select(col(idCol).as("doc_id"),
+        BlockingKeys.simhash60(col(textCol)).as("simhash"))
       .localCheckpoint(true)
     val keys = base.select(
       explode(BlockingKeys.simhashBandKeys(col("simhash"))).as("block_key"),

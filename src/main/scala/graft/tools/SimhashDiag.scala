@@ -15,13 +15,8 @@ object SimhashDiag {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("__th1", BlockingKeys.tokenHashes(toks))
-      .withColumn("__th2", BlockingKeys.tokenHashes2(toks))
-      .withColumn("simhash",
-        BlockingKeys.simhash60FromHashes(col("__th1"), col("__th2")))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"), BlockingKeys.simhash60(col("text")).as("simhash"))
       .localCheckpoint(true)
     println(s"[simdiag] docs=${base.count()} distinctFp=${base.select("simhash").distinct().count()}")
     val keys = base.select(

@@ -100,6 +100,28 @@ class BlockingKeysSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native simhash60 kernel == staged HOF plan (property, 400 random strings)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcXYZ 09\t  zzéü世"
+    val strs = (1 to 400).map { _ =>
+      val n = rng.nextInt(60)
+      (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "   ", "\t\n", "ONE two THREE", "café CAFÉ")
+    val df = strs.toDF("t")
+    val toks = filter(split(lower(col("t")), "\\s+"), x => length(x) > 0)
+    val rows = df.select(
+      BlockingKeys.simhash60(col("t")).as("native"),
+      BlockingKeys.simhash60FromHashes(
+        BlockingKeys.tokenHashes(toks), BlockingKeys.tokenHashes2(toks)).as("hof"))
+      .collect()
+    rows.zip(strs).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native != HOF for ${s.take(40)}: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val spark = SparkTestSession.spark
     import spark.implicits._
