@@ -44,6 +44,30 @@ class TenantScopeSpec extends AnyFunSuite {
     assert(groups(scopedA) == groups(solo))
   }
 
+  test("null tenants coalesce to a reserved tenant: isolated from real tenants, merged together") {
+    // two identical docs with NULL tenant + the same doc under tenant A:
+    // the null pair must merge with each other and NOT with A's doc
+    val nulls = tenanted("N").withColumn("tenant", lit(null).cast("string"))
+    val both = tenanted("A").union(nulls)
+    val scoped = ResolvePipeline.run(spark, both,
+      PipelineConfig(tenantColumn = Some("tenant")))
+    val withSrc = scoped.clusters
+      .withColumn("src", substring(col("doc_id"), 1, 1))
+    val spanning = withSrc.groupBy("cluster_id")
+      .agg(countDistinct(col("src")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(spanning == 0, "null-tenant docs must not merge into a real tenant")
+    // null-tenant docs still cluster among themselves exactly like a
+    // normal tenant (not silently dropped into singletons)
+    def groups(df: org.apache.spark.sql.DataFrame): Set[Set[String]] =
+      df.select("doc_id", "cluster_id").collect()
+        .groupBy(_.getString(1)).values.map(_.map(_.getString(0)).toSet).toSet
+    val solo = ResolvePipeline.run(spark, tenanted("N").drop("tenant")).clusters
+    val nullPart = withSrc.where(col("src") === "N").select("doc_id", "cluster_id")
+    assert(groups(nullPart) == groups(solo),
+      "null-tenant partition must cluster exactly like an unscoped run on its docs")
+  }
+
   test("unscoped run merges the cross-tenant duplicates the scoped run keeps apart") {
     val both = tenanted("A").union(tenanted("B"))
     val unscoped = ResolvePipeline.run(spark, both.drop("tenant"))
