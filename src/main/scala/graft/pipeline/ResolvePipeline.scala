@@ -92,7 +92,13 @@ final case class PipelineResult(
     mergeEdges: DataFrame,      // src, dst, confidence, reason
     rejects: DataFrame,         // doc_id, reject_reason
     metrics: DataFrame,         // decision -> n
-    candidateStats: CandidateGenerator.CandidateStats)
+    /** Block-size/dropped-key metrics, computed ON DEMAND (one extra
+      * aggregation pass over the materialized key table). Dropped
+      * oversized blocks are a recall-affecting decision — production
+      * jobs should invoke and log this; it is a thunk so pipelines that
+      * don't consume it (benchmarks, tests) don't pay the pass.
+      */
+    candidateStats: () => CandidateGenerator.CandidateStats)
 
 object ResolvePipeline {
 
@@ -276,7 +282,7 @@ object ResolvePipeline {
     }
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
-    val candStats = timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
+    val candStats = () => timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
     val blockedPairs = stage("candidate_pairs", fpPairs) {
       CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }

@@ -112,6 +112,13 @@ class ResolvePipelineSpec extends AnyFunSuite {
       s"expected merges in metrics, got $m")
   }
 
+  test("candidate stats thunk reports block metrics on demand") {
+    val stats = result.candidateStats()
+    assert(stats.distinctKeys > 0 && stats.totalKeys >= stats.distinctKeys)
+    assert(stats.oversizedKeys == 0,
+      s"clean small corpus should not overflow the block cap: $stats")
+  }
+
   test("deterministic across reruns") {
     val again = ResolvePipeline.run(spark, truthDocs.select("doc_id", "spans"))
     assert(result.clusters.select("doc_id", "cluster_id")
