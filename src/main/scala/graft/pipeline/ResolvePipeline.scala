@@ -444,14 +444,16 @@ object ResolvePipeline {
 
     // D8 counters; exact-group collapses are reported as EXACT_MERGE
     // (the reference counts exact-match resolves separately from fuzzy
-    // auto-merges, api/BatchContext.java:268-278)
-    val exactMerges = timed("exactMerges.count") {
-      repMap
-        .map(m => m.where(col("doc_id") =!= col("rep")).count())
-        .getOrElse(0L)
-    }
-    val metrics = Decisions.decisionCounts(pairScores)
-      .union(spark.createDataFrame(Seq(("EXACT_MERGE", exactMerges))).toDF("decision", "n"))
+    // auto-merges, api/BatchContext.java:268-278). The EXACT_MERGE row is
+    // a lazy aggregation inside the metrics plan — an eager driver-side
+    // count() here cost a full job per pipeline run whether or not the
+    // caller ever read the metrics.
+    val exactMergesDF = repMap
+      .map(m => m.where(col("doc_id") =!= col("rep"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("EXACT_MERGE").as("decision"), col("n")))
+      .getOrElse(spark.createDataFrame(Seq(("EXACT_MERGE", 0L))).toDF("decision", "n"))
+    val metrics = Decisions.decisionCounts(pairScores).union(exactMergesDF)
     // L6 provenance edges: type-guarded AUTO_MERGE edges re-attached to
     // their scores (the reference stores confidence/reason on every
     // MERGED_INTO edge) plus the review overrides
