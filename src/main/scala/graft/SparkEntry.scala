@@ -90,6 +90,11 @@ object SparkEntry {
   def prewarm(s: SparkSession, dir: String): Unit = {
     ccDF(s, dir).count()
     synonymsDF(s, dir).count()
+    // compile the full-pipeline codegen/JIT paths too (blocking kernels,
+    // scoring expressions, CC loop) on a 100-doc slice, so the sweep's
+    // first ResolvePipeline query measures its work, not warm-up
+    val mini = spanDocs(s, dir).where(col("doc_id") < 100)
+    ResolvePipeline.run(s, mini, PipelineConfig()).clusters.count()
   }
 
   private def nnDF(s: SparkSession, dir: String): DataFrame =
