@@ -51,6 +51,18 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("q31: simhash band join is an equi-join (no cartesian), hamming filtered in-join") {
+    val p = plan("q31_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bit_count"), "hamming filter must appear in the join plan")
+  }
+
+  test("q18: minhash verify joins are equi-joins over hashed shingle sets") {
+    val p = plan("q18_minhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("text_a"), "text columns must not ride the verify join")
+  }
+
   test("q61: entity context assembles via partial-agged joins, no cartesian") {
     val p = plan("q61_entity_context")
     assert(!p.contains("CartesianProduct"), p)
