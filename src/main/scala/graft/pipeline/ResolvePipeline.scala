@@ -46,7 +46,11 @@ final case class PipelineConfig(
       * column on the input docs carrying the entity type; docs of
       * different types share blocking keys and get scored, but never
       * merge (edges are filtered on type equality before CC, and exact
-      * pregrouping groups by (normalized, type)).
+      * pregrouping groups by (normalized, type)). NULL type values
+      * coalesce to a reserved "null" type that merges only with
+      * itself — matching the pregroup's NULLs-group-together semantics
+      * (the edge guard's non-null-safe equality would otherwise silently
+      * drop every NULL-typed edge).
       */
     typeColumn: Option[String] = None,
     /** Multi-tenancy scoping (tenant/TenantAwareEntityRepository.java:50-70,
@@ -150,9 +154,16 @@ object ResolvePipeline {
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).collect()(0)
       s"${row.get(0)}:${row.get(1)}"
     }
+    // the input identity must cover EVERY input column any stage reads:
+    // doc_id + spans content, plus the configured status/type/tenant
+    // VALUES — a doc whose status flips (same id, same spans) must
+    // invalidate the snapshots it baked into
     val inputFp = store.map { _ =>
-      contentFp(docs.select(col("doc_id"), to_json(col("spans")).as("j")),
-        Seq("doc_id", "j"))
+      val extraCols = (cfg.statusColumn.toSeq ++ cfg.typeColumn ++ cfg.tenantColumn)
+        .filter(docs.columns.contains)
+      val proj = docs.select(col("doc_id") +: to_json(col("spans")).as("__j") +:
+        extraCols.map(c => col(c).cast("string").as(s"__$c")): _*)
+      contentFp(proj, proj.columns.toSeq)
     }.getOrElse("")
     def fp(parts: String*): String =
       store.map(_.fingerprint(parts: _*)).getOrElse("")
@@ -199,9 +210,14 @@ object ResolvePipeline {
     val typeCol = cfg.typeColumn.filter(docs.columns.contains)
     val tenantCol = cfg.tenantColumn.filter(docs.columns.contains)
     val tenantCarry = tenantCol.map(_ => "__tenant").toSeq
+    // NULL type/tenant values coalesce to a reserved id: NULL-typed docs
+    // merge only with each other (consistent between the pregroup, which
+    // groups NULLs together, and the edge guard, whose non-null-safe
+    // equality would otherwise silently drop every NULL-typed edge; see
+    // the tenantColumn scaladoc for the tenant half)
     val nameCols = Seq(col("doc_id"), col("normalized")) ++
-      typeCol.map(tc => col(tc).as("__type")) ++
-      // coalesce NULL tenants to a reserved id (see tenantColumn scaladoc)
+      typeCol.map(tc =>
+        coalesce(col(tc).cast("string"), lit("\u0002null")).as("__type")) ++
       tenantCol.map(tc =>
         coalesce(col(tc).cast("string"), lit("\u0002null")).as("__tenant"))
 

@@ -31,16 +31,17 @@ object MinhashDiag {
       val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, 10000)
         .localCheckpoint(true)
       lap("pairs")(pairs.count())
-      val sh = base.withColumn("__s", BlockingKeys.shingles(col("text")))
+      // mirror of Dedup.minhashNearDups' shipped verify join (60-bit
+      // hashed shingle sets, no text columns through the join)
+      val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
         .localCheckpoint(true)
       lap("shingles")(sh.count())
-      val a = sh.select(col("doc_id").as("doc_id_a"), col("text").as("text_a"), col("__s").as("s_a"))
-      val b = sh.select(col("doc_id").as("doc_id_b"), col("text").as("text_b"), col("__s").as("s_b"))
+      val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
+      val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
       val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
       val out = pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
         .withColumn("jaccard",
-          when(col("text_a") === col("text_b"), lit(1.0))
-            .otherwise(inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)))
+          inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
         .where(col("jaccard") >= 0.5)
         .select("doc_id_a", "doc_id_b", "jaccard")
       lap("verify-join")(out.count())

@@ -104,7 +104,10 @@ class BlockingKeysSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val rng = new scala.util.Random(7)
-    val alphabet = "abcXYZ 09\t  zzéü世"
+    // includes a supplementary-plane char (👍): Spark's ascii() is
+    // code-point-based (probed: 128077), so the HOF rolling hash and the
+    // kernel's codePoints() walk agree even beyond the BMP
+    val alphabet = "abcXYZ 09\t  zzéü世" + new String(Character.toChars(0x1F44D))
     val strs = (1 to 400).map { _ =>
       val n = rng.nextInt(60)
       (1 to n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString

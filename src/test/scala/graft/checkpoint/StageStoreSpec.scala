@@ -171,6 +171,31 @@ class StageStoreSpec extends AnyFunSuite {
       "partially-resumed run must equal a from-scratch run with the new weights")
   }
 
+  test("changed status VALUES invalidate snapshots (input fp covers config columns)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = DocGen.corpusDF(spark, entities = 10, docsPerEntity = 3)
+      .select("doc_id", "spans")
+    def withStatus(mergedId: Option[String]) = base.withColumn("status",
+      mergedId.map(id => org.apache.spark.sql.functions.when(col("doc_id") === id, "MERGED")
+        .otherwise("ACTIVE")).getOrElse(lit("ACTIVE")))
+    val flipId = base.select("doc_id").orderBy("doc_id").limit(1)
+      .collect()(0).getString(0)
+    val root = tmpDir("graft-statusfp")
+    val cfg = PipelineConfig(checkpointRoot = Some(root), statusColumn = Some("status"))
+    ResolvePipeline.run(spark, withStatus(None), cfg).clusters.count()
+    // same ids, same spans — ONLY a status value flips
+    val flipped = ResolvePipeline.run(spark, withStatus(Some(flipId)), cfg)
+      .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    val fresh = ResolvePipeline.run(spark, withStatus(Some(flipId)),
+      cfg.copy(checkpointRoot = Some(tmpDir("graft-statusfp-fresh"))))
+      .clusters.select("doc_id", "cluster_id").collect().map(_.toString).sorted
+    assert(flipped.toSeq == fresh.toSeq,
+      "a status-value flip must invalidate snapshots, not resume the doc into its old cluster")
+    assert(flipped.count(_.contains(s"[$flipId,$flipId]")) == 1,
+      "the flipped doc must come out as its own singleton")
+  }
+
   test("override edges are content-fingerprinted: changed approvals invalidate clusters") {
     import spark.implicits._
     val docs = DocGen.corpusDF(spark, entities = 10, docsPerEntity = 3)

@@ -112,6 +112,21 @@ class ResolvePipelineSpec extends AnyFunSuite {
       s"expected merges in metrics, got $m")
   }
 
+  test("NULL-typed docs merge with each other, never with typed docs") {
+    import spark.implicits._
+    val spans = array(struct(lit("text").as("kind"), lit("Acme Corp").as("text"),
+      lit("").as("media_ref"), lit(0).as("offset")))
+    val docs = Seq(("d1", null: String), ("d2", null: String), ("d3", "OTHER"))
+      .toDF("doc_id", "etype").withColumn("spans", spans)
+    val r = ResolvePipeline.run(spark, docs, PipelineConfig(typeColumn = Some("etype")))
+    val byDoc = r.clusters.select("doc_id", "cluster_id").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(byDoc("d1") == byDoc("d2"),
+      "identical NULL-typed docs must merge (not be silently dropped by the edge guard)")
+    assert(byDoc("d3") != byDoc("d1"),
+      "a typed doc must never merge with NULL-typed docs")
+  }
+
   test("candidate stats thunk reports block metrics on demand") {
     val stats = result.candidateStats()
     assert(stats.distinctKeys > 0 && stats.totalKeys >= stats.distinctKeys)
