@@ -30,10 +30,9 @@ import graft.text.TextAnalysis
   * Jaro-Winkler runs as a recursive-CTE port of the reference loop
   * (OracleSql.jaroWinklerCtes — DuckDB's builtin is a different
   * algorithm), and the media stub chain is mirrored arithmetically
-  * (mediaCtes). The one remaining rows-only check is q29, whose
-  * default-weights composite embeds JW inside the full pipeline chain —
-  * its value-exact twin q60 runs the identical ResolvePipeline code path
-  * with oracle-safe weights.
+  * (mediaCtes), including q29's full default-weights pipeline (the JW
+  * walk joined into the scoring CTE of the pipeline mirror; hot CTEs
+  * MATERIALIZED so DuckDB's recursion doesn't re-evaluate the chain).
   */
 object SparkEntry {
 
@@ -298,13 +297,22 @@ object SparkEntry {
        |        (a, x) -> (a*31 + x) % ${O.P}) AS ch FROM mn),
        |mh AS (SELECT *, ch % 1000 AS h FROM mc)""".stripMargin
 
-  /** Recursive-CTE mirror of the full ResolvePipeline with oracle-safe
-    * weights over the span-doc fixture (q60); with `tenant` on, mirrors
+  /** Recursive-CTE mirror of the full ResolvePipeline over the span-doc
+    * fixture. With oracle-safe weights the composite is pure lev/jac
+    * (q60); with `defaultWeights` on (q29) the scoring CTE joins the
+    * recursive Jaro-Winkler walk (OracleSql.jaroWinklerCtes) and mirrors
+    * the pipeline's exact IEEE operation order `(w1*lev + w2*jw) + w3*jac`
+    * (ResolvePipeline scoredPlan); `cap` mirrors
+    * PipelineConfig.maxBlockSize (q29 runs the pipeline at 2000).
+    * With `tenant` on, mirrors
     * the tenant-scoped pipeline (tenant = 't'||(doc_id%3), every block
     * key prefixed by tenant+, pregroup per tenant) and filters the
     * output to one tenant (q63).
     */
-  private def pipelineOracleSql(tenant: Boolean): String = {
+  private def pipelineOracleSql(
+      tenant: Boolean,
+      defaultWeights: Boolean = false,
+      cap: Int = 1000): String = {
     val tSel = if (tenant) ", 't' || CAST(doc_id % 3 AS VARCHAR) AS tenant" else ""
     val tCol = if (tenant) ", tenant" else ""
     val keyPfx = if (tenant) "tenant || chr(1) || " else ""
@@ -314,6 +322,24 @@ object SparkEntry {
     val outCols =
       if (tenant) "rm.doc_id, rm.tenant AS tenant, a.cluster_id"
       else "rm.doc_id, a.cluster_id"
+    // Scoring CTE(s): the default-weights variant walks the recursive JW
+    // CTE over the SAME pn pairs (q28 proved the walk bit-exact) and sums
+    // the three weighted components in the pipeline's left-assoc order.
+    // Weight literals come from SimilarityWeights.default so the oracle
+    // cannot drift from the code default.
+    val dw = SimilarityWeights.default
+    val scCtes =
+      if (!defaultWeights)
+        s"""sc AS (SELECT doc_id_a, doc_id_b, ${O.oracleScore("name_a", "name_b")} AS score FROM pn),"""
+      else
+        s"""${O.jaroWinklerCtes},
+           |sc AS (SELECT pn.doc_id_a, pn.doc_id_b,
+           |  CASE WHEN name_a = name_b THEN CAST(1.0 AS DOUBLE)
+           |       ELSE CAST(${dw.levenshteinWeight} AS DOUBLE)*${O.levSim("name_a", "name_b")}
+           |          + CAST(${dw.jaroWinklerWeight} AS DOUBLE)*jw_score
+           |          + CAST(${dw.jaccardWeight} AS DOUBLE)*${O.tokenJaccard("name_a", "name_b")}
+           |  END AS score
+           |  FROM pn JOIN jwsc USING (doc_id_a, doc_id_b)),""".stripMargin
     s"""WITH RECURSIVE
        |t12 AS (SELECT doc_id,
        |  array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 12), ' ') AS text
@@ -329,7 +355,7 @@ object SparkEntry {
        |  WHERE name IS NOT NULL AND trim(name) <> '' AND length(name) <= 1000
        |    AND NOT regexp_matches(name, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')),
        |nrm AS (SELECT doc_id$tCol, ${O.norm("name")} AS normalized FROM valid),
-       |reps AS (SELECT min(doc_id) AS doc_id, $repGroup FROM nrm GROUP BY $repGroup),
+       |reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id, $repGroup FROM nrm GROUP BY $repGroup),
        |rm AS (SELECT n.doc_id$tCol, r.doc_id AS rep FROM nrm n JOIN reps r $rmJoin),
        |kd AS (SELECT doc_id, ${keyPfx}block_key AS block_key FROM (
        |       SELECT doc_id$tCol, unnest(${O.defaultKeysList("normalized")}) AS block_key
@@ -339,15 +365,15 @@ object SparkEntry {
        |km AS (SELECT doc_id, ${keyPfx}block_key AS block_key FROM (
        |       SELECT doc_id$tCol, unnest(${O.minhashBandKeysList("normalized")}) AS block_key
        |       FROM reps WHERE normalized <> '')),
-       |k AS (SELECT * FROM kd UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM km),
-       |ok AS (SELECT block_key FROM k GROUP BY 1 HAVING count(*) <= 1000),
-       |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |k AS MATERIALIZED (SELECT * FROM kd UNION ALL SELECT * FROM ks UNION ALL SELECT * FROM km),
+       |ok AS (SELECT block_key FROM k GROUP BY 1 HAVING count(*) <= $cap),
+       |p AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
        |      FROM k a JOIN ok USING(block_key) JOIN k b USING(block_key)
        |      WHERE a.doc_id < b.doc_id),
-       |pn AS (SELECT doc_id_a, doc_id_b, na.normalized AS name_a, nb.normalized AS name_b
+       |pn AS MATERIALIZED (SELECT doc_id_a, doc_id_b, na.normalized AS name_a, nb.normalized AS name_b
        |       FROM p JOIN reps na ON na.doc_id = doc_id_a
        |              JOIN reps nb ON nb.doc_id = doc_id_b),
-       |sc AS (SELECT doc_id_a, doc_id_b, ${O.oracleScore("name_a", "name_b")} AS score FROM pn),
+       |$scCtes
        |edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM sc WHERE score >= 0.92),
        |und AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
        |cc(node, cl) AS (SELECT s, s FROM und
@@ -1101,6 +1127,12 @@ object SparkEntry {
         s"""${ctes("scores")},
            |${O.jaroWinklerCtes}
            |SELECT doc_id_a, doc_id_b, jw_score FROM jwsc""".stripMargin,
+
+      // Full default-weights pipeline: same chain as q60's oracle but the
+      // composite includes the recursive-CTE Jaro-Winkler walk and the
+      // block-size cap is 2000 (q29's PipelineConfig).
+      "q29_pipeline_default" ->
+        pipelineOracleSql(tenant = false, defaultWeights = true, cap = 2000),
 
       "q30_media_features" ->
         s"""WITH ${mediaCtes("'image'")}

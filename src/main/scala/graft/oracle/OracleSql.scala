@@ -11,9 +11,11 @@ import graft.text.TextAnalysis
   * coefficients, stopword profiles), so the Spark implementation and the
   * oracle cannot drift. Jaro-Winkler is NOT DuckDB's builtin (a different
   * algorithm): [[jaroWinklerCtes]] ports the reference's match-window loop
-  * as a recursive CTE. Composite-score queries still use
-  * SimilarityWeights.oracleSafe (embedding the recursive JW walk inside
-  * every scoring CTE would be prohibitively slow for the big chains).
+  * as a recursive CTE. Big composite-score chains either use
+  * SimilarityWeights.oracleSafe or join the JW walk into their scoring
+  * CTE (q29); the walk's inputs are MATERIALIZED — DuckDB's default
+  * inlining re-evaluates a CTE's upstream chain on every recursion step,
+  * which made the q29 oracle 25x slower than materialized.
   */
 object OracleSql {
 
@@ -214,7 +216,10 @@ object OracleSql {
     */
   val jaroWinklerCtes: String = {
     import graft.sim.JaroWinkler.{DefaultScalingFactor, MaxPrefixLength}
-    s"""jprep AS (SELECT doc_id_a, doc_id_b,
+    // MATERIALIZED: the recursion joins jprep once per step; left to the
+    // default inlining DuckDB re-evaluates jprep's upstream chain every
+    // iteration (q29's pipeline chain: 324 s -> 13 s at sf0.01).
+    s"""jprep AS MATERIALIZED (SELECT doc_id_a, doc_id_b,
        |  string_split(name_a, '') AS c1, string_split(name_b, '') AS c2,
        |  length(name_a) AS l1, length(name_b) AS l2,
        |  greatest(0, greatest(length(name_a), length(name_b)) // 2 - 1) AS mw
