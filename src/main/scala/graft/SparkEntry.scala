@@ -914,6 +914,16 @@ object SparkEntry {
         SimilarityWeights(0.7, 0.0, 0.3)))
       .select("doc_id_a", "doc_id_b", "weighted")),
 
+    // --- I4: intra-batch dedup, deterministic keeper (first occurrence
+    //     by doc_id per case-insensitive name key — the reference's
+    //     in-order batch semantics made reproducible; the orderCol-less
+    //     form keeps dropDuplicates' arbitrary-representative behavior)
+    "q69_batch_dedup" -> ((s, dir) =>
+      graft.sources.Bulk.dedupBatch(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        "text", orderCol = Some("doc_id"))
+        .select("doc_id", "text")),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1557,6 +1567,12 @@ object SparkEntry {
            | (CASE WHEN name_a = name_b THEN 1.0
            |  ELSE 0.7*${O.levSim("name_a", "name_b")} + 0.3*${O.tokenJaccard("name_a", "name_b")} END) AS weighted
            |FROM pn""".stripMargin,
+
+      "q69_batch_dedup" ->
+        """SELECT doc_id, text FROM (
+          |  SELECT doc_id, text,
+          |    row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1""".stripMargin,
 
       // full from-scratch recompute — identical chain to q08 by design
       "q65_incremental_resolve" ->

@@ -49,10 +49,25 @@ object Bulk {
   /** I4: intra-batch dedup — case-insensitive (name, type) key
     * (api/BatchContext.java:84-107); free in batch mode.
     */
-  def dedupBatch(df: DataFrame, nameCol: String, typeCol: Option[String] = None): DataFrame = {
+  def dedupBatch(df: DataFrame, nameCol: String, typeCol: Option[String] = None,
+                 orderCol: Option[String] = None): DataFrame = {
     val keyed = df.withColumn("__k", lower(trim(col(nameCol))))
     val cols = "__k" +: typeCol.toSeq
-    keyed.dropDuplicates(cols).drop("__k")
+    orderCol match {
+      case None =>
+        // reference semantics: keep ONE row per key. dropDuplicates keeps
+        // whichever row the hash-agg sees first — fine when any
+        // representative serves, but NOT deterministic across runs/plans.
+        keyed.dropDuplicates(cols).drop("__k")
+      case Some(o) =>
+        // deterministic keeper (the reference's in-order "first occurrence"
+        // batch semantics): first row by orderCol per key — reproducible
+        // run to run, resumable byte-identically, oracle-mirrorable.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(cols.map(col): _*).orderBy(col(o))
+        keyed.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn", "__k")
+    }
   }
 
   /** I3: CSV export (one directory per section, quoted/escaped like the

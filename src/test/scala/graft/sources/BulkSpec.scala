@@ -38,6 +38,19 @@ class BulkSpec extends AnyFunSuite {
     assert(Bulk.dedupBatch(df, "name").count() == 2)
   }
 
+  test("intra-batch dedup with orderCol keeps the FIRST occurrence, deterministically") {
+    import spark.implicits._
+    val df = Seq((3L, " acme "), (1L, "Acme"), (2L, "ACME"), (4L, "Other"))
+      .toDF("seq", "name")
+    val kept = Bulk.dedupBatch(df, "name", orderCol = Some("seq"))
+      .select("seq", "name").as[(Long, String)].collect().sorted
+    assert(kept.sameElements(Array((1L, "Acme"), (4L, "Other"))))
+    // repartitioned input must keep the same rows (plan-independent)
+    val kept2 = Bulk.dedupBatch(df.repartition(7), "name", orderCol = Some("seq"))
+      .select("seq", "name").as[(Long, String)].collect().sorted
+    assert(kept.sameElements(kept2))
+  }
+
   test("CSV export round-trips") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-export").resolve("out")
