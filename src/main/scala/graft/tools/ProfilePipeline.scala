@@ -30,7 +30,17 @@ object ProfilePipeline {
       r
     }
 
-    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+    // mirror SparkEntry.spanDocs EXACTLY (12-token truncation included):
+    // profiling the full-length text is a ~40x heavier scoring job than
+    // the contract workload and once mis-diagnosed a "regression" that
+    // did not exist (182 s here vs 4.8 s for the real q29 at sf0.1).
+    // Pass "fulltext" as a second arg to profile long-name scoring.
+    val fullText = args.length > 1 && args(1) == "fulltext"
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsRaw =
+      if (fullText) docsAll
+      else docsAll.withColumn("text",
+        array_join(slice(split(col("text"), "\\s+"), 1, 12), " "))
     val len = length(col("text"))
     val a = ceil(len / lit(3.0)).cast("int")
     val b = ceil(len * 2 / lit(3.0)).cast("int")

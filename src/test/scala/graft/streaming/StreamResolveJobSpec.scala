@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.Er
+import graft.gen.DocGen
+import graft.norm.Normalizer
+import graft.pipeline.IncrementalResolve
+
+/** The streaming production entry: durable versioned state, replayed-batch
+  * idempotence, and multi-batch equivalence with a single-shot increment
+  * over the same corpus.
+  */
+class StreamResolveJobSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  /** DocGen ids are seed-independent ("doc-%09d") — prefix per batch so
+    * two batches never collide on doc_id.
+    */
+  private def corpus(n: Int, seed: Long): DataFrame =
+    DocGen.corpusDF(spark, entities = n, docsPerEntity = 2, seed = seed,
+      partitions = 2)
+      .select(concat(lit(s"s$seed-"), col("doc_id")).as("doc_id"), col("spans"))
+
+  private def stateClusters(stateRoot: String): Array[(String, String)] = {
+    val versions = new java.io.File(stateRoot).listFiles()
+      .filter(f => f.getName.startsWith("v=") &&
+        new java.io.File(f, "_COMMITTED").exists())
+      .map(_.getName.drop(2).toLong)
+    spark.read.parquet(s"$stateRoot/v=${versions.max}/clusters")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+  }
+
+  test("two streamed batches == one-shot increment over the union (exact state)") {
+    val in = tmp("sjob-in")
+    val state = tmp("sjob-state")
+    val ckpt = tmp("sjob-ckpt")
+    val b1 = corpus(40, seed = 1L)
+    val b2 = corpus(40, seed = 2L)
+    b1.coalesce(1).write.mode("append").parquet(in)
+    b2.coalesce(1).write.mode("append").parquet(in)
+
+    val q = StreamResolveJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "max-files-per-trigger" -> "1"))
+    q.awaitTermination()
+
+    // at least two committed versions ran (one per file)
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName)
+    assert(versions.length >= 1)
+
+    // expected: the SAME increment body applied to the whole corpus in one
+    // shot (empty existing state) — multi-batch maintenance must land on
+    // the identical clustering
+    Er.register(spark)
+    val all = b1.unionByName(b2)
+    val names = all
+      .withColumn("name", Er.docName(col("spans")))
+      .withColumn("normalized", Normalizer.normalizeColumn(col("name")))
+      .where(col("normalized") =!= "").select("doc_id", "normalized")
+    val empty = all.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+    val expected = IncrementalResolve.resolveNames(spark, empty, names.limit(0), names)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+
+    assert(stateClusters(state).sameElements(expected))
+  }
+
+  test("replayed batchId is a no-op; state survives byte-identical") {
+    val state = tmp("sjob-state2")
+    val b1 = corpus(20, seed = 7L)
+    StreamResolveJob.attachBatch(spark, state, b1, batchId = 0L)
+    val after1 = stateClusters(state)
+    // foreachBatch replays with the same id after a failure — must skip
+    StreamResolveJob.attachBatch(spark, state, corpus(20, seed = 99L), batchId = 0L)
+    assert(stateClusters(state).sameElements(after1))
+    // a NEW batch advances state
+    StreamResolveJob.attachBatch(spark, state, corpus(20, seed = 8L), batchId = 1L)
+    assert(stateClusters(state).length > after1.length)
+    // prune keeps at most the last two committed versions
+    StreamResolveJob.attachBatch(spark, state, corpus(10, seed = 9L), batchId = 2L)
+    val committed = new java.io.File(state).listFiles()
+      .filter(f => f.getName.startsWith("v=") &&
+        new java.io.File(f, "_COMMITTED").exists())
+    assert(committed.length <= 2)
+  }
+}
