@@ -92,4 +92,23 @@ class StreamResolveJobSpec extends AnyFunSuite {
         new java.io.File(f, "_COMMITTED").exists())
     assert(committed.length <= 2)
   }
+
+  test("crash mid-write: an uncommitted version dir is invisible and the replay overwrites it") {
+    val state = tmp("sjob-state3")
+    val b1 = corpus(20, seed = 11L)
+    StreamResolveJob.attachBatch(spark, state, b1, batchId = 0L)
+    // simulate a batch-1 crash AFTER partial parquet writes but BEFORE the
+    // _COMMITTED marker: junk data in v=1, no marker
+    val partial = new java.io.File(state, "v=1/clusters")
+    partial.mkdirs()
+    Files.write(partial.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
+    val before = stateClusters(state) // must still read v=0
+    // the streaming engine replays batch 1; the overwrite must supersede
+    // the partial dir and commit
+    val b2 = corpus(20, seed = 12L)
+    StreamResolveJob.attachBatch(spark, state, b2, batchId = 1L)
+    val after = stateClusters(state)
+    assert(after.length > before.length)
+    assert(new java.io.File(state, "v=1/_COMMITTED").exists())
+  }
 }
