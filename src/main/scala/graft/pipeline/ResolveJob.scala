@@ -32,7 +32,8 @@ object ResolveJob {
     """graft.pipeline.ResolveJob
       |  --input PATH              input table (parquet unless --format)
       |  --output PATH             output root; writes PATH/clusters etc.
-      |  [--format parquet|orc|json|csv]
+      |  [--format parquet|orc|json]   (csv lacks nested spans — import
+      |                                via Bulk.importCsv + a span builder)
       |  [--checkpoint-dir PATH]   StageStore root (resume + lineage)
       |  [--weights L,JW,JAC]      default 0.33,0.34,0.33
       |  [--thresholds A,S,R]      default 0.92,0.80,0.60
@@ -48,36 +49,27 @@ object ResolveJob {
       |""".stripMargin
 
   private[pipeline] def parseArgs(args: Array[String]): Map[String, String] = {
-    require(args.length % 2 == 0, s"odd argument count\n$Usage")
-    val m = args.grouped(2).map {
-      case Array(k, v) =>
-        require(k.startsWith("--"), s"expected --key, got '$k'\n$Usage")
-        k.drop(2) -> v
-    }.toMap
-    val known = Set("input", "output", "format", "checkpoint-dir", "weights",
-      "thresholds", "entity-type", "max-block-size", "salted-max-block-size",
-      "type-column", "tenant-column", "status-column", "orphan-fallback",
-      "orphan-fallback-cap", "override-edges", "shuffle-partitions",
-      "write-provenance")
-    val unknown = m.keySet -- known
-    require(unknown.isEmpty, s"unknown option(s): ${unknown.mkString(", ")}\n$Usage")
-    require(m.contains("input") && m.contains("output"), s"--input and --output are required\n$Usage")
+    val m = graft.util.Args.parse(args,
+      known = Set("input", "output", "format", "checkpoint-dir", "weights",
+        "thresholds", "entity-type", "max-block-size", "salted-max-block-size",
+        "type-column", "tenant-column", "status-column", "orphan-fallback",
+        "orphan-fallback-cap", "override-edges", "shuffle-partitions",
+        "write-provenance"),
+      required = Set("input", "output"),
+      usage = Usage)
+    m.get("format").foreach(f => require(Set("parquet", "orc", "json")(f),
+      s"--format must be parquet|orc|json, got '$f'\n$Usage"))
     m
   }
 
-  private def triple(s: String): (Double, Double, Double) =
-    s.split(",").map(_.trim.toDouble) match {
-      case Array(a, b, c) => (a, b, c)
-      case other => throw new IllegalArgumentException(
-        s"expected three comma-separated numbers, got '$s'")
-    }
-
   private[pipeline] def configFrom(opts: Map[String, String]): PipelineConfig = {
     val weights = opts.get("weights").map { s =>
-      val (l, j, t) = triple(s); SimilarityWeights(l, j, t)
+      val (l, j, t) = graft.util.Args.triple(s, "--weights")
+      SimilarityWeights(l, j, t)
     }.getOrElse(SimilarityWeights.default)
     val thresholds = opts.get("thresholds").map { s =>
-      val (a, sy, r) = triple(s); Thresholds(a, sy, r)
+      val (a, sy, r) = graft.util.Args.triple(s, "--thresholds")
+      Thresholds(a, sy, r)
     }.getOrElse(Thresholds())
     PipelineConfig(
       weights = weights,
@@ -105,8 +97,11 @@ object ResolveJob {
   def run(spark: SparkSession, opts: Map[String, String]): PipelineResult = {
     val fmt = opts.getOrElse("format", "parquet")
     val docs = spark.read.format(fmt).load(opts("input"))
+    // override edges are OUR provenance artifact (written as parquet by a
+    // prior run's review pipeline) — always parquet, independent of the
+    // input table's --format
     val overrides = opts.get("override-edges")
-      .map(p => spark.read.format(fmt).load(p).select("src", "dst"))
+      .map(p => spark.read.parquet(p).select("src", "dst"))
     val out = opts("output")
     val result = ResolvePipeline.run(spark, docs, configFrom(opts), overrides)
 

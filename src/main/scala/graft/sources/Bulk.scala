@@ -62,7 +62,9 @@ object Bulk {
       case Some(o) =>
         // deterministic keeper (the reference's in-order "first occurrence"
         // batch semantics): first row by orderCol per key — reproducible
-        // run to run, resumable byte-identically, oracle-mirrorable.
+        // run to run and oracle-mirrorable PROVIDED orderCol is unique
+        // within each key group (e.g. a row id); with ties, row_number's
+        // pick is plan-dependent again.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(cols.map(col): _*).orderBy(col(o))
         keyed.withColumn("__rn", row_number().over(w))

@@ -5,18 +5,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.blocking.BlockingKeys
 import graft.functions.Er
 import graft.norm.Normalizer
 import graft.pipeline.IncrementalResolve
 import graft.sim.SimilarityWeights
+import graft.util.Args
 
 /** Production streaming entry: maintain an entity clustering over an
   * UNBOUNDED arriving span-doc table. Each micro-batch runs the
   * contracted-graph increment ([[IncrementalResolve.resolveNames]] — the
   * body proven hash-exact vs full recompute by q65) against durable
-  * state, so the clustering is continuously maintained rather than
-  * recomputed: per-batch work is |new keys| ⋈ |state keys| plus CC over
-  * one vertex per TOUCHED cluster.
+  * state. Per-batch COMPUTE is O(increment): the state's exploded
+  * blocking-key table is persisted with each version and read back (the
+  * state names are never re-keyed), so the batch pays |new keys| ⋈
+  * |state keys| plus CC over one vertex per TOUCHED cluster. Per-batch
+  * state I/O writes a full snapshot copy per version — the simple
+  * filesystem layout's cost; swap the state store for a merge-on-read
+  * table format (Iceberg/Delta) to make the I/O O(increment) too.
   *
   * {{{
   * spark-submit --class graft.streaming.StreamResolveJob graft.jar \
@@ -31,43 +37,77 @@ import graft.sim.SimilarityWeights
   * overwrites). Structured Streaming replays a failed batch with the
   * SAME batchId, and [[attachBatch]] skips any batch at-or-below the
   * max committed version — exactly-once state even though foreachBatch
-  * is at-least-once. Committed versions beyond the last two are pruned
-  * best-effort.
+  * is at-least-once. Committed versions beyond the last two are pruned.
+  *
+  * The state root and the streaming checkpoint form ONE lineage:
+  * batchIds only mean anything relative to the checkpoint that issued
+  * them. [[start]] fails fast when the state has committed versions but
+  * the checkpoint is fresh (a reset/re-created checkpoint restarts
+  * batchIds at 0, and the skip-replayed guard would silently drop every
+  * batch up to the old high-water mark — new documents included).
   */
 object StreamResolveJob {
+
+  private val Usage =
+    """graft.streaming.StreamResolveJob
+      |  --input DIR               landing dir of span-doc parquet files
+      |  --state DIR               durable state root (versioned snapshots)
+      |  --checkpoint DIR          Structured Streaming checkpoint
+      |  [--trigger "30 seconds"|availableNow]   default availableNow
+      |  [--weights L,JW,JAC]      default 0.33,0.34,0.33
+      |  [--threshold T]           merge threshold, default 0.92
+      |  [--max-block-size N]      default 1000
+      |  [--max-files-per-trigger N]
+      |""".stripMargin
+
+  private[streaming] def parseArgs(args: Array[String]): Map[String, String] =
+    Args.parse(args,
+      known = Set("input", "state", "checkpoint", "trigger", "weights",
+        "threshold", "max-block-size", "max-files-per-trigger"),
+      required = Set("input", "state", "checkpoint"),
+      usage = Usage)
 
   private def fsOf(spark: SparkSession, stateRoot: String) =
     new Path(stateRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Max committed version (-1 when none). A version counts only once
-    * its `_COMMITTED` marker exists — partial writes are invisible.
+  /** Committed versions, ascending. A version counts only once its
+    * `_COMMITTED` marker exists — partial writes are invisible.
     */
-  private def latestVersion(spark: SparkSession, stateRoot: String): Long = {
+  private def committedVersions(spark: SparkSession, stateRoot: String): Seq[Long] = {
     val fs = fsOf(spark, stateRoot)
     val root = new Path(stateRoot)
-    if (!fs.exists(root)) return -1L
-    val committed = fs.listStatus(root).map(_.getPath)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith("v=") &&
         fs.exists(new Path(p, "_COMMITTED")))
-      .map(_.getName.drop(2).toLong)
-    if (committed.isEmpty) -1L else committed.max
+      .map(_.getName.drop(2).toLong).sorted.toSeq
   }
+
+  private def latestVersion(spark: SparkSession, stateRoot: String): Long =
+    committedVersions(spark, stateRoot).lastOption.getOrElse(-1L)
 
   private def commitVersion(spark: SparkSession, stateRoot: String, v: Long): Unit = {
     val fs = fsOf(spark, stateRoot)
     fs.create(new Path(s"$stateRoot/v=$v/_COMMITTED"), true).close()
-    // prune committed versions beyond the previous one (kept for readers
-    // mid-swap); uncommitted leftovers below v are failed attempts
-    val stale = fs.listStatus(new Path(stateRoot)).map(_.getPath)
-      .filter(p => p.getName.startsWith("v="))
-      .sortBy(p => p.getName.drop(2).toLong)
-      .dropRight(2)
-    stale.foreach(p => fs.delete(p, true))
+    // keep the last two COMMITTED versions (previous one stays for
+    // readers mid-swap); delete every other v= dir — older committed
+    // snapshots AND uncommitted leftovers from failed attempts, which
+    // must never count toward the keep-2 window
+    val keep = committedVersions(spark, stateRoot).takeRight(2)
+      .map(id => s"v=$id").toSet
+    fs.listStatus(new Path(stateRoot)).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") && !keep(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
+
+  private def stateKeys(names: DataFrame): DataFrame =
+    BlockingKeys.explodeKeys(names, "doc_id",
+      BlockingKeys.defaultKeys(col("normalized")))
 
   /** One micro-batch: derive + normalize names from the arriving span
     * docs, run the contracted-graph increment against the committed
-    * state, commit the new state version. Idempotent on `batchId`.
+    * state (whose persisted key table is read back, not re-derived),
+    * commit the new state version. Idempotent on `batchId`.
     */
   def attachBatch(spark: SparkSession, stateRoot: String,
                   batch: DataFrame, batchId: Long,
@@ -85,22 +125,27 @@ object StreamResolveJob {
       .select("doc_id", "normalized")
       .localCheckpoint(true)
 
-    val (existing, existingNames) =
+    val (existing, existingNames, existingKeys) =
       if (committed < 0)
         (batch.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0),
-          newNames.limit(0))
+          newNames.limit(0), None)
       else
         (spark.read.parquet(s"$stateRoot/v=$committed/clusters"),
-          spark.read.parquet(s"$stateRoot/v=$committed/names"))
+          spark.read.parquet(s"$stateRoot/v=$committed/names"),
+          Some(spark.read.parquet(s"$stateRoot/v=$committed/keys")))
 
     val clusters = IncrementalResolve.resolveNames(spark, existing, existingNames,
-      newNames, weights = weights, threshold = threshold,
-      maxBlockSize = maxBlockSize)
+      newNames, existingKeys = existingKeys, weights = weights,
+      threshold = threshold, maxBlockSize = maxBlockSize)
 
     val out = s"$stateRoot/v=$batchId"
     clusters.write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
     existingNames.unionByName(newNames).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/names")
+    // keys: copy the state's table and key ONLY the increment
+    val newKeys = stateKeys(newNames)
+    existingKeys.map(_.unionByName(newKeys)).getOrElse(newKeys)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
     commitVersion(spark, stateRoot, batchId)
   }
 
@@ -108,9 +153,19 @@ object StreamResolveJob {
   def start(spark: SparkSession, opts: Map[String, String]): StreamingQuery = {
     val input = opts("input")
     val stateRoot = opts("state")
+    val ckpt = opts("checkpoint")
+    // lineage guard: a fresh checkpoint restarts batchIds at 0, which the
+    // replay-skip guard would read as "already committed" — refuse to pair
+    // a fresh checkpoint with non-empty state instead of dropping data
+    val ckptOffsets = new Path(s"$ckpt/offsets")
+    val ckptFresh = !fsOf(spark, ckpt).exists(ckptOffsets)
+    if (ckptFresh && latestVersion(spark, stateRoot) >= 0)
+      throw new IllegalStateException(
+        s"state root $stateRoot has committed versions but checkpoint $ckpt is fresh; " +
+          "state and checkpoint form one lineage — restore the original checkpoint " +
+          "or start a new state root")
     val weights = opts.get("weights").map { s =>
-      val Array(l, j, t) = s.split(",").map(_.trim.toDouble)
-      SimilarityWeights(l, j, t)
+      val (l, j, t) = Args.triple(s, "--weights"); SimilarityWeights(l, j, t)
     }.getOrElse(SimilarityWeights.default)
     val threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.92)
     val maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(1000)
@@ -122,7 +177,7 @@ object StreamResolveJob {
       reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(input)
     val writer = stream.writeStream
-      .option("checkpointLocation", opts("checkpoint"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         attachBatch(spark, stateRoot, batch, batchId, weights, threshold, maxBlockSize)
       }
@@ -133,10 +188,7 @@ object StreamResolveJob {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length % 2 == 0 && args.length >= 6,
-      "usage: --input DIR --state DIR --checkpoint DIR [--trigger \"30 seconds\"|availableNow] " +
-        "[--weights L,JW,JAC] [--threshold T] [--max-block-size N] [--max-files-per-trigger N]")
-    val opts = args.grouped(2).map { case Array(k, v) => k.drop(2) -> v }.toMap
+    val opts = parseArgs(args)
     val spark = SparkSession.builder().appName("graft-stream-resolve").getOrCreate()
     val q = start(spark, opts)
     q.awaitTermination()

@@ -53,10 +53,14 @@ class StreamResolveJobSpec extends AnyFunSuite {
       "max-files-per-trigger" -> "1"))
     q.awaitTermination()
 
-    // at least two committed versions ran (one per file)
+    // maxFilesPerTrigger=1 must actually split the corpus into multiple
+    // batches: the prune keeps the last TWO committed versions, so seeing
+    // fewer would mean the whole corpus ran as one batch and the
+    // incremental path this test exists to cover never executed
     val versions = new java.io.File(state).listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName)
-    assert(versions.length >= 1)
+      .filter(f => f.getName.startsWith("v=") &&
+        new java.io.File(f, "_COMMITTED").exists()).map(_.getName)
+    assert(versions.length == 2, s"expected 2 committed versions, got ${versions.mkString(",")}")
 
     // expected: the SAME increment body applied to the whole corpus in one
     // shot (empty existing state) — multi-batch maintenance must land on
@@ -91,6 +95,23 @@ class StreamResolveJobSpec extends AnyFunSuite {
       .filter(f => f.getName.startsWith("v=") &&
         new java.io.File(f, "_COMMITTED").exists())
     assert(committed.length <= 2)
+  }
+
+  test("strict args + lineage guard: typo'd options fail fast; fresh checkpoint over non-empty state refuses") {
+    assertThrows[IllegalArgumentException](StreamResolveJob.parseArgs(
+      Array("--input", "a", "--state", "b"))) // missing --checkpoint
+    assertThrows[IllegalArgumentException](StreamResolveJob.parseArgs(
+      Array("--input", "a", "--state", "b", "--checkpoint", "c",
+        "--max-file-per-trigger", "1"))) // typo'd option must not silently default
+    // a reset checkpoint restarts batchIds at 0; pairing it with existing
+    // state would silently skip-drop every batch up to the old high-water
+    // mark — the job must refuse instead
+    val state = tmp("sjob-state4")
+    StreamResolveJob.attachBatch(spark, state, corpus(10, seed = 21L), batchId = 0L)
+    val in = tmp("sjob-in4")
+    corpus(5, seed = 22L).coalesce(1).write.mode("append").parquet(in)
+    assertThrows[IllegalStateException](StreamResolveJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> tmp("sjob-ckpt4"))))
   }
 
   test("crash mid-write: an uncommitted version dir is invisible and the replay overwrites it") {
