@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -149,15 +149,23 @@ object Ann {
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val it = items.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
       .withColumn("cell", cellOf(col("item_emb"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
+      .withColumn("cell", explode(probeCells(centroids, nProbe)))
+    rankWithinCells(q, it, k)
+  }
+
+  /** Query's nProbe nearest cells (over `query_emb`). */
+  private def probeCells(centroids: Seq[Seq[Double]], nProbe: Int): Column = {
     val qDists = array(centroids.map(c => l2sqTo(col("query_emb"), c)): _*)
-    val probeCells = slice(
+    slice(
       transform(array_sort(
         zip_with(qDists, sequence(lit(0), lit(centroids.size - 1)),
           (d, i) => struct(d.as("d"), i.as("i")))),
         s => s.getField("i")),
       1, nProbe)
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
-      .withColumn("cell", explode(probeCells))
+  }
+
+  private def rankWithinCells(q: DataFrame, it: DataFrame, k: Int): DataFrame = {
     val scored = q.join(it, Seq("cell"))
       .where(col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine(col("query_emb"), col("item_emb")))
@@ -165,6 +173,54 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "item_id", "cosine", "rank")
+  }
+
+  /** Persist a trained IVF index: the tiny centroid table plus the items
+    * written PARTITIONED BY cell. This is the index lifecycle at corpus
+    * scale — assign every item to its cell ONCE, then serve any number of
+    * query batches from the persisted layout; [[ivfTopKFromIndex]] reads
+    * only the probed cell directories. Embeddings are stored unchanged
+    * (no cast), so indexed results are bit-identical to [[ivfTopK]] over
+    * the same inputs.
+    */
+  def ivfWriteIndex(items: DataFrame, centroids: Seq[Seq[Double]], path: String,
+                    idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    items.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
+      .withColumn("cell", cellOf(col("item_emb"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/items")
+  }
+
+  def ivfReadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
+
+  /** Top-k against a persisted index, reading ONLY the probed cell
+    * directories. The distinct probed-cell set is collected from the
+    * query side first — it is bounded by the centroid count (a
+    * driver-held model already), so the collect is O(model), and the
+    * resulting static `cell IN (...)` filter prunes the partitioned scan
+    * DETERMINISTICALLY (plan-gated in AnnIvfSpec). Dynamic partition
+    * pruning was measured not to engage here: Spark's PartitionPruning
+    * rule does not see through the Generate(explode) that produces the
+    * probe side's join key, and a cost-model feature is the wrong tool
+    * when the exact partition set is cheaply knowable up front.
+    */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 2,
+                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centroids = ivfReadCentroids(spark, path)
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
+      .withColumn("cell", explode(probeCells(centroids, nProbe)))
+      .localCheckpoint(true) // probed twice: cell collect + the join
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val it = spark.read.parquet(s"$path/items")
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+    rankWithinCells(broadcast(q), it, k)
   }
 
   /** Sign-LSH bucket key over dimensions [offset+1, offset+bits] — the

@@ -50,4 +50,24 @@ class AnnIvfSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.9, f"mean recall@5 $mean%.2f < 0.9")
   }
+
+  test("persisted IVF index: bit-identical to in-memory ivfTopK; probed cells prune the scan (DPP)") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val centroids = Ann.ivfTrain(df, k = 6, iters = 2)
+    Ann.ivfWriteIndex(df, centroids, path)
+    assert(Ann.ivfReadCentroids(spark, path) == centroids) // round-trip exact
+    val queries = df.where($"vec_id" % 40 === 0)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().sorted
+    val direct = rows(Ann.ivfTopK(df, queries, centroids, k = 5, nProbe = 2))
+    val indexed = Ann.ivfTopKFromIndex(spark, path, queries, k = 5, nProbe = 2)
+    assert(rows(indexed).sameElements(direct))
+    // plan gate: the partitioned item scan must carry a static cell
+    // partition filter — the index read is O(probed cells), not O(index)
+    val plan = indexed.queryExecution.executedPlan.toString.toLowerCase
+    val pf = plan.indexOf("partitionfilters: [")
+    assert(pf >= 0, plan.take(1500))
+    val filters = plan.slice(pf, plan.indexOf("]", pf))
+    assert(filters.contains("cell#") && filters.contains(" in ("), filters)
+  }
 }
