@@ -214,13 +214,17 @@ object Ann {
                        k: Int, nProbe: Int = 2,
                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val centroids = ivfReadCentroids(spark, path)
+    // no cache/checkpoint: the probe expression is evaluated twice (cell
+    // collect + the join) but is O(|queries| x model) — cheap — and a
+    // pinned block per serve call would accumulate across a session. No
+    // broadcast hint either: a large query batch must be allowed to
+    // shuffle-join (AQE broadcasts it when it measures small).
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
       .withColumn("cell", explode(probeCells(centroids, nProbe)))
-      .localCheckpoint(true) // probed twice: cell collect + the join
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val it = spark.read.parquet(s"$path/items")
       .where(col("cell").isin(probed.map(Integer.valueOf): _*))
-    rankWithinCells(broadcast(q), it, k)
+    rankWithinCells(q, it, k)
   }
 
   /** Sign-LSH bucket key over dimensions [offset+1, offset+bits] — the

@@ -88,6 +88,7 @@ object IncrementalResolve {
                    existingNames: DataFrame,  // doc_id, normalized
                    newNames: DataFrame,       // doc_id, normalized
                    existingKeys: Option[DataFrame] = None,
+                   newKeysOpt: Option[DataFrame] = None,
                    weights: SimilarityWeights = SimilarityWeights.default,
                    threshold: Double = Thresholds().autoMerge,
                    maxBlockSize: Int = 1000): DataFrame = {
@@ -95,8 +96,13 @@ object IncrementalResolve {
     val oldKeys = existingKeys.getOrElse(
       BlockingKeys.explodeKeys(existingNames, "doc_id",
         BlockingKeys.defaultKeys(col("normalized"))))
-    val newKeys = BlockingKeys.explodeKeys(newNames, "doc_id",
-      BlockingKeys.defaultKeys(col("normalized"))).localCheckpoint(true)
+    // a caller that already derived (and persisted) the increment's keys
+    // passes them in — e.g. StreamResolveJob, which also writes them to
+    // the state version; deriving twice per micro-batch is wasted work.
+    // Caller-provided keys are used as-is (caching is the caller's call).
+    val newKeys = newKeysOpt.getOrElse(
+      BlockingKeys.explodeKeys(newNames, "doc_id",
+        BlockingKeys.defaultKeys(col("normalized"))).localCheckpoint(true))
     def scoreEdges(pairs: DataFrame): DataFrame = {
       val a = existingNames.unionByName(newNames)
         .select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))

@@ -41,10 +41,11 @@ import graft.util.Args
   *
   * The state root and the streaming checkpoint form ONE lineage:
   * batchIds only mean anything relative to the checkpoint that issued
-  * them. [[start]] fails fast when the state has committed versions but
-  * the checkpoint is fresh (a reset/re-created checkpoint restarts
-  * batchIds at 0, and the skip-replayed guard would silently drop every
-  * batch up to the old high-water mark — new documents included).
+  * them. [[start]] fails fast on EITHER divergence: a fresh checkpoint
+  * over committed state (restarted batchIds would be skip-dropped up to
+  * the old high-water mark) and a progressed checkpoint over an empty
+  * state root (the source would skip every recorded file and the
+  * rebuilt clustering would silently miss them all).
   */
 object StreamResolveJob {
 
@@ -118,35 +119,56 @@ object StreamResolveJob {
     if (committed >= batchId) return // replayed batch — state already has it
     Er.register(spark)
 
+    // persist (not localCheckpoint): the batch tables are read several
+    // times within this micro-batch and must release their storage at
+    // the end — a long-running stream would otherwise accumulate one
+    // pinned block set per batch
     val newNames = batch
       .withColumn("name", Er.docName(col("spans")))
       .withColumn("normalized", Normalizer.normalizeColumn(col("name")))
       .where(col("normalized").isNotNull && col("normalized") =!= "")
       .select("doc_id", "normalized")
-      .localCheckpoint(true)
+      .persist()
+    val newKeys = stateKeys(newNames).persist()
+    try {
+      val (existing, existingNames, existingKeys) =
+        if (committed < 0)
+          (batch.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0),
+            newNames.limit(0), None)
+        else {
+          // keys fallback: state committed by an engine version that wrote
+          // only clusters/names migrates transparently — resolveNames
+          // derives the old keys from the names once, and THIS version
+          // persists them for every batch after
+          val keysPath = new Path(s"$stateRoot/v=$committed/keys")
+          (spark.read.parquet(s"$stateRoot/v=$committed/clusters"),
+            spark.read.parquet(s"$stateRoot/v=$committed/names"),
+            if (fsOf(spark, stateRoot).exists(keysPath))
+              Some(spark.read.parquet(keysPath.toString))
+            else None)
+        }
 
-    val (existing, existingNames, existingKeys) =
-      if (committed < 0)
-        (batch.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0),
-          newNames.limit(0), None)
-      else
-        (spark.read.parquet(s"$stateRoot/v=$committed/clusters"),
-          spark.read.parquet(s"$stateRoot/v=$committed/names"),
-          Some(spark.read.parquet(s"$stateRoot/v=$committed/keys")))
+      val clusters = IncrementalResolve.resolveNames(spark, existing, existingNames,
+        newNames, existingKeys = existingKeys, newKeysOpt = Some(newKeys),
+        weights = weights, threshold = threshold, maxBlockSize = maxBlockSize)
 
-    val clusters = IncrementalResolve.resolveNames(spark, existing, existingNames,
-      newNames, existingKeys = existingKeys, weights = weights,
-      threshold = threshold, maxBlockSize = maxBlockSize)
-
-    val out = s"$stateRoot/v=$batchId"
-    clusters.write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
-    existingNames.unionByName(newNames).write.mode(SaveMode.Overwrite)
-      .parquet(s"$out/names")
-    // keys: copy the state's table and key ONLY the increment
-    val newKeys = stateKeys(newNames)
-    existingKeys.map(_.unionByName(newKeys)).getOrElse(newKeys)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
-    commitVersion(spark, stateRoot, batchId)
+      val out = s"$stateRoot/v=$batchId"
+      clusters.write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
+      existingNames.unionByName(newNames).write.mode(SaveMode.Overwrite)
+        .parquet(s"$out/names")
+      // keys: copy the state's table (deriving from names when migrating
+      // old state) and key ONLY the increment
+      val allKeys =
+        if (committed < 0) newKeys
+        else existingKeys
+          .getOrElse(stateKeys(spark.read.parquet(s"$stateRoot/v=$committed/names")))
+          .unionByName(newKeys)
+      allKeys.write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
+      commitVersion(spark, stateRoot, batchId)
+    } finally {
+      newKeys.unpersist(false)
+      newNames.unpersist(false)
+    }
   }
 
   /** Wire the file-source stream; returns the started query. */
@@ -159,11 +181,20 @@ object StreamResolveJob {
     // a fresh checkpoint with non-empty state instead of dropping data
     val ckptOffsets = new Path(s"$ckpt/offsets")
     val ckptFresh = !fsOf(spark, ckpt).exists(ckptOffsets)
-    if (ckptFresh && latestVersion(spark, stateRoot) >= 0)
+    val stateEmpty = latestVersion(spark, stateRoot) < 0
+    if (ckptFresh && !stateEmpty)
       throw new IllegalStateException(
         s"state root $stateRoot has committed versions but checkpoint $ckpt is fresh; " +
           "state and checkpoint form one lineage — restore the original checkpoint " +
           "or start a new state root")
+    // symmetric divergence: a retained checkpoint over a lost/retargeted
+    // state root would resume skipping every file the checkpoint already
+    // recorded — the rebuilt clustering would silently miss all of them
+    if (!ckptFresh && stateEmpty)
+      throw new IllegalStateException(
+        s"checkpoint $ckpt has recorded progress but state root $stateRoot has no " +
+          "committed versions; resuming would skip every previously ingested file — " +
+          "restore the state root or start a fresh checkpoint AND state together")
     val weights = opts.get("weights").map { s =>
       val (l, j, t) = Args.triple(s, "--weights"); SimilarityWeights(l, j, t)
     }.getOrElse(SimilarityWeights.default)

@@ -22,9 +22,16 @@ object Args {
     m
   }
 
-  /** Three comma-separated doubles (weights/thresholds triples). */
+  /** Three comma-separated doubles (weights/thresholds triples). Any
+    * unparseable token fails loudly — silently discarding it could let a
+    * malformed 4-token input masquerade as a valid triple.
+    */
   def triple(s: String, what: String): (Double, Double, Double) =
-    s.split(",").map(_.trim).flatMap(v => scala.util.Try(v.toDouble).toOption) match {
+    s.split(",", -1).map { tok =>
+      val v = tok.trim
+      scala.util.Try(v.toDouble).getOrElse(throw new IllegalArgumentException(
+        s"$what: '$v' is not a number in '$s'"))
+    } match {
       case Array(a, b, c) => (a, b, c)
       case _ => throw new IllegalArgumentException(
         s"$what: expected three comma-separated numbers, got '$s'")

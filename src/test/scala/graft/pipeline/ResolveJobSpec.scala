@@ -41,6 +41,11 @@ class ResolveJobSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ResolveJob.configFrom(
       ResolveJob.parseArgs(Array("--input", "a", "--output", "b",
         "--thresholds", "0.9,0.8"))))
+    // an unparseable token must fail loudly, not be dropped so the rest
+    // masquerades as a valid triple
+    assertThrows[IllegalArgumentException](ResolveJob.configFrom(
+      ResolveJob.parseArgs(Array("--input", "a", "--output", "b",
+        "--weights", "0.33,junk,0.34,0.33"))))
   }
 
   test("job output == direct pipeline run; provenance tables written") {

@@ -76,6 +76,29 @@ class StreamResolveJobSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
 
     assert(stateClusters(state).sameElements(expected))
+
+    // symmetric lineage guard: this checkpoint has recorded progress, so
+    // pairing it with an empty state root must refuse (the source would
+    // skip every recorded file)
+    assertThrows[IllegalStateException](StreamResolveJob.start(spark, Map(
+      "input" -> in, "state" -> tmp("sjob-state-lost"), "checkpoint" -> ckpt)))
+  }
+
+  test("state without a keys table (pre-keys engine version) migrates transparently") {
+    val state = tmp("sjob-state5")
+    StreamResolveJob.attachBatch(spark, state, corpus(15, seed = 31L), batchId = 0L)
+    // simulate old-version state: no persisted keys
+    val keysDir = new java.io.File(state, "v=0/keys")
+    assert(keysDir.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(keysDir)
+    val before = stateClusters(state)
+    StreamResolveJob.attachBatch(spark, state, corpus(15, seed = 32L), batchId = 1L)
+    assert(stateClusters(state).length > before.length)
+    // the new version persists keys again
+    assert(new java.io.File(state, "v=1/keys").exists())
   }
 
   test("replayed batchId is a no-op; state survives byte-identical") {
