@@ -67,20 +67,35 @@ final class StageStore(root: String, spark: SparkSession) {
     val df = compute
     val tmp = stageDir(name).resolve(s".tmp-$fp")
     Files.createDirectories(stageDir(name))
-    deleteRecursively(tmp)
+    // clean ALL stale tmp snapshots for this stage, not just the current
+    // fingerprint's — a crashed run with a different config would
+    // otherwise leave its near-full copy on disk forever
+    val siblings = Files.list(stageDir(name))
+    try siblings.forEach { p =>
+      if (p.getFileName.toString.startsWith(".tmp-")) deleteRecursively(p)
+    } finally siblings.close()
     df.write.mode("overwrite").parquet(tmp.toString)
 
     // Per-partition lineage metrics from the written files (stable across
     // reruns because the snapshot, not the plan, is the source of truth).
     val written = spark.read.parquet(tmp.toString)
-    val partRows = written.groupBy(spark_partition_id().as("pid"))
+    val partStats = written.groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("rows"))
       .orderBy("pid")
       .collect()
+    val partRows = partStats
       .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
-    val total = written.count()
+    // total = sum of the per-partition rows already collected — a second
+    // full count() scan of the snapshot would be redundant I/O per commit
+    val total = partStats.map(_.getLong(1)).sum
 
     // Swap snapshot into place, then commit via manifest (commit point).
+    // The OLD manifest is invalidated FIRST: a crash anywhere in the swap
+    // window then leaves no manifest (-> recompute on resume) instead of
+    // a manifest whose fingerprint describes data that was already
+    // deleted or replaced — the stated invariant "manifest present +
+    // fingerprint match = committed" must hold through crashes.
+    Files.deleteIfExists(manifestPath(name))
     val dd = dataDir(name)
     deleteRecursively(dd)
     Files.move(tmp, dd, StandardCopyOption.ATOMIC_MOVE)

@@ -24,14 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  private def signature(e: DataFrame): (Long, String) = {
+  private def signature(e: DataFrame): (Long, String, String) = {
     // sum in decimal(38,0): a long sum of 64-bit hashes overflows under
-    // ANSI mode (Spark 4 default)
+    // ANSI mode (Spark 4 default). TWO independent hash sums (the second
+    // seeds xxhash64 differently by prepending a constant column): a
+    // false convergence needs consecutive non-equal edge sets to collide
+    // on count AND both sums — ~2^-128 per iteration instead of ~2^-64.
+    // A collision would SILENTLY emit labels from a non-star edge set,
+    // so the signature is cheap insurance on the one probabilistic check
+    // in an otherwise exact pipeline.
     val row = e.agg(
       count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h")).collect()(0)
-    (row.getLong(0), String.valueOf(row.get(1)))
+        lit(0).cast("decimal(38,0)")).as("h"),
+      coalesce(sum(xxhash64(lit(0x5eed), col("src"), col("dst")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h2")).collect()(0)
+    (row.getLong(0), String.valueOf(row.get(1)), String.valueOf(row.get(2)))
   }
 
   /** Large-star: connect every neighbor v > u to the min of u's
@@ -87,7 +95,7 @@ object ConnectedComponents {
       .localCheckpoint(true)
 
     val profile = sys.env.contains("GRAFT_PROFILE")
-    var prevSig = (-1L, "")
+    var prevSig = (-1L, "", "")
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIterations) {

@@ -40,6 +40,9 @@ object BucketedKeys {
     * exchange-free on the bucket layout.
     */
   def candidatePairs(spark: SparkSession, table: String,
-                     maxBlockSize: Int = 1000): DataFrame =
-    CandidateGenerator.candidatePairs(read(spark, table), maxBlockSize)
+                     maxBlockSize: Int = 1000,
+                     saltedMaxBlockSize: Int = -1,
+                     saltBuckets: Int = 16): DataFrame =
+    CandidateGenerator.candidatePairs(read(spark, table), maxBlockSize,
+      saltedMaxBlockSize, saltBuckets)
 }

@@ -31,7 +31,13 @@ object CandidateGenerator {
       totalKeys: Long,
       distinctKeys: Long,
       oversizedKeys: Long,
-      droppedKeyRows: Long)
+      droppedKeyRows: Long,
+      /** Blocks in (maxBlockSize, saltedMaxBlockSize]: KEPT via salted
+        * pair generation, not dropped — reported separately so the
+        * recall-affecting drop metric stays truthful when salting is on.
+        */
+      saltedKeys: Long = 0L,
+      saltedKeyRows: Long = 0L)
 
   /** Distinct candidate pairs (doc_id_a < doc_id_b) from a (block_key,
     * doc_id) table.
@@ -53,6 +59,9 @@ object CandidateGenerator {
     */
   def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000,
                      saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame = {
+    // validated at the API boundary: saltBuckets = 0 would otherwise fail
+    // minutes later inside the join job (pmod by zero under ANSI mode)
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedMax = if (saltedMaxBlockSize < maxBlockSize) maxBlockSize else saltedMaxBlockSize
     val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n"))
 
@@ -89,22 +98,33 @@ object CandidateGenerator {
   }
 
   /** Block-size metrics for lineage/monitoring (dropped keys are a
-    * recall-affecting decision and must be visible).
+    * recall-affecting decision and must be visible). Pass the SAME
+    * saltedMaxBlockSize as [[candidatePairs]]: blocks the salted path
+    * keeps are counted as salted, not dropped — otherwise the drop
+    * metric reports recall loss that did not happen.
     */
-  def stats(keys: DataFrame, maxBlockSize: Int = 1000): CandidateStats = {
+  def stats(keys: DataFrame, maxBlockSize: Int = 1000,
+            saltedMaxBlockSize: Int = -1): CandidateStats = {
+    val saltedMax = if (saltedMaxBlockSize < maxBlockSize) maxBlockSize else saltedMaxBlockSize
     val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n")).cache()
     try {
       val agg = sized.agg(
         count(lit(1)).as("distinct_keys"),
         sum("block_n").as("total_rows"),
-        sum(when(col("block_n") > maxBlockSize, 1L).otherwise(0L)).as("oversized"),
-        sum(when(col("block_n") > maxBlockSize, col("block_n")).otherwise(0L)).as("dropped_rows")
+        sum(when(col("block_n") > saltedMax, 1L).otherwise(0L)).as("oversized"),
+        sum(when(col("block_n") > saltedMax, col("block_n")).otherwise(0L)).as("dropped_rows"),
+        sum(when(col("block_n") > maxBlockSize && col("block_n") <= saltedMax, 1L)
+          .otherwise(0L)).as("salted"),
+        sum(when(col("block_n") > maxBlockSize && col("block_n") <= saltedMax, col("block_n"))
+          .otherwise(0L)).as("salted_rows")
       ).collect()(0)
       CandidateStats(
         totalKeys = agg.getAs[Long]("total_rows"),
         distinctKeys = agg.getAs[Long]("distinct_keys"),
         oversizedKeys = agg.getAs[Long]("oversized"),
-        droppedKeyRows = Option(agg.getAs[Long]("dropped_rows")).getOrElse(0L))
+        droppedKeyRows = Option(agg.getAs[Long]("dropped_rows")).getOrElse(0L),
+        saltedKeys = agg.getAs[Long]("salted"),
+        saltedKeyRows = Option(agg.getAs[Long]("salted_rows")).getOrElse(0L))
     } finally sized.unpersist()
   }
 }

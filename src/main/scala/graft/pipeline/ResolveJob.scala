@@ -119,8 +119,9 @@ object ResolveJob {
       val st = result.candidateStats()
       import spark.implicits._
       write(Seq((st.totalKeys, st.distinctKeys, st.oversizedKeys,
-        st.droppedKeyRows)).toDF(
-        "total_keys", "distinct_keys", "oversized_keys", "dropped_key_rows"),
+        st.droppedKeyRows, st.saltedKeys, st.saltedKeyRows)).toDF(
+        "total_keys", "distinct_keys", "oversized_keys", "dropped_key_rows",
+        "salted_keys", "salted_key_rows"),
         "block_stats")
     }
     result

@@ -298,7 +298,8 @@ object ResolvePipeline {
     }
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
-    val candStats = () => timed("stats")(CandidateGenerator.stats(keys, cfg.maxBlockSize))
+    val candStats = () => timed("stats")(
+      CandidateGenerator.stats(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize))
     val blockedPairs = stage("candidate_pairs", fpPairs) {
       CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }

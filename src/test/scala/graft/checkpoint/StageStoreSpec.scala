@@ -85,10 +85,18 @@ class StageStoreSpec extends AnyFunSuite {
     val tmp = Paths.get(root, "s1", s".tmp-$fp")
     Files.createDirectories(tmp)
     Files.write(tmp.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    // ...and an OLDER crashed run with a different config left ITS tmp too
+    val staleOther = Paths.get(root, "s1", ".tmp-deadbeefdeadbeef")
+    Files.createDirectories(staleOther)
+    Files.write(staleOther.resolve("part-00000.parquet"), Array[Byte](9, 9))
     val out = store.materialize("s1", fp)(Seq((7, "x")).toDF("id", "v"))
       .collect().map(_.toString).toSeq
     assert(out == Seq("[7,x]"))
     assert(store.committedFingerprint("s1").contains(fp))
+    // every stale tmp snapshot is gone, whatever fingerprint left it —
+    // orphaned near-full copies must not accumulate on the volume
+    assert(!Files.exists(staleOther))
+    assert(!Files.exists(tmp))
   }
 
   test("chaos: compute failure leaves store uncommitted; retry succeeds") {

@@ -50,4 +50,26 @@ class CandidateGeneratorSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("x", "y")))
   }
+
+  test("stats with salting: kept-via-salting blocks are salted, not dropped") {
+    // hot60 > saltedMax -> dropped; warm20 in (max, saltedMax] -> salted;
+    // cold2 <= max -> plain
+    val keys = keysDF(
+      (1 to 60).map(i => ("hot", f"h$i%03d")) ++
+      (1 to 20).map(i => ("warm", f"w$i%03d")) ++
+      Seq(("cold", "x"), ("cold", "y")))
+    val st = CandidateGenerator.stats(keys, maxBlockSize = 10, saltedMaxBlockSize = 50)
+    assert(st.oversizedKeys == 1 && st.droppedKeyRows == 60,
+      s"only the >saltedMax block counts as dropped: $st")
+    assert(st.saltedKeys == 1 && st.saltedKeyRows == 20, s"warm block is salted: $st")
+    // same table WITHOUT salting: both big blocks are dropped
+    val st0 = CandidateGenerator.stats(keys, maxBlockSize = 10)
+    assert(st0.oversizedKeys == 2 && st0.droppedKeyRows == 80 && st0.saltedKeys == 0)
+  }
+
+  test("saltBuckets = 0 is rejected at the API boundary, not inside the join job") {
+    val keys = keysDF(Seq(("k", "a"), ("k", "b")))
+    assertThrows[IllegalArgumentException](
+      CandidateGenerator.candidatePairs(keys, saltBuckets = 0))
+  }
 }
