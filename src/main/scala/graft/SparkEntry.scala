@@ -1098,10 +1098,13 @@ object SparkEntry {
            |FROM rel JOIN asg c1 ON c1.doc_id = rel.src JOIN asg c2 ON c2.doc_id = rel.dst
            |WHERE c1.cluster_id <> c2.cluster_id""".stripMargin,
 
+      // NULL text mirrors Dedup.exact: unknown content is its own keeper
       "q15_dedup_exact" ->
         s"""SELECT doc_id, md5(text) AS content_hash,
-           | min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
-           | doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+           | CASE WHEN text IS NULL THEN doc_id
+           |      ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS keeper,
+           | doc_id <> (CASE WHEN text IS NULL THEN doc_id
+           |      ELSE min(doc_id) OVER (PARTITION BY md5(text)) END) AS is_dup
            |FROM documents""".stripMargin,
 
       "q16_ngram_jaccard" ->
@@ -1257,7 +1260,8 @@ object SparkEntry {
         val bandUnion = (0 until BlockingKeys.SimHashBands).map { i =>
           s"SELECT doc_id, sh, 'b$i:' || ((sh >> ${i * BlockingKeys.SimHashBandBits}) % ${1L << BlockingKeys.SimHashBandBits}) AS bk FROM f"
         }.mkString("\n      UNION ALL ")
-        s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents),
+        s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents
+           |     WHERE text IS NOT NULL AND length(text) > 0),
            |k AS ($bandUnion),
            |ok AS (SELECT bk FROM k GROUP BY 1 HAVING count(*) <= 10000)
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,

@@ -32,19 +32,34 @@ object BlockingKeys {
       .otherwise(array(pfx, tok, bg))
   }
 
-  /** Plain-Scala mirror of [[defaultKeys]] for the generator and tests
-    * (exact port of the strategy's semantics; insertion order pfx, tok, bg).
+  /** Plain-Scala mirror of [[defaultKeys]] for the generator and tests —
+    * the COLUMN semantics, faithfully: Spark `trim` strips ASCII spaces
+    * only (NOT all whitespace like String.trim), `lower` is
+    * locale-agnostic (Locale.ROOT here — a default-locale toLowerCase
+    * would produce dotless-i keys on a tr-TR JVM), and `split` keeps
+    * trailing empty tokens (Java limit -1, not the default 0). A mirror
+    * using the idiomatic String methods silently disagreed with the
+    * engine on names with non-space whitespace. (Whitespace-only names
+    * slip past the blank guard in BOTH versions and key together —
+    * upstream normalization collapses them to "" before keying, so the
+    * pipeline never feeds one; raw callers should pre-filter.)
     */
   def defaultKeysScala(name: String): Seq[String] = {
-    if (name == null || name.trim.isEmpty) return Seq.empty
-    val cleaned = name.toLowerCase.trim
-    val toks = cleaned.split("\\s+")
+    if (name == null) return Seq.empty
+    val lowered = name.toLowerCase(java.util.Locale.ROOT)
+    var s = 0
+    var e = lowered.length
+    while (s < e && lowered.charAt(s) == ' ') s += 1
+    while (e > s && lowered.charAt(e - 1) == ' ') e -= 1
+    val cleaned = lowered.substring(s, e)
+    if (cleaned.isEmpty) return Seq.empty
+    val toks = cleaned.split("\\s+", -1)
     val pfx = "pfx:" + cleaned.substring(0, math.min(3, cleaned.length))
     val tok =
-      if (toks.length >= 2) { val s = toks.sorted; s"tok:${s(0)}|${s(1)}" }
+      if (toks.length >= 2) { val srt = toks.sorted; s"tok:${srt(0)}|${srt(1)}" }
       else s"tok:${toks(0)}"
     val bg = "bg:" + cleaned.substring(0, math.min(2, cleaned.length))
-    Seq(pfx, tok, bg).distinct
+    Seq(pfx, tok, bg)
   }
 
   /** B5: sorted-neighborhood key — the smallest sorted token plus a short

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -11,8 +11,8 @@ import graft.blocking.BlockingKeys
   *
   *  - exact: hash-groupBy (one shuffle, map-side partial agg)
   *  - MinHash+LSH: shingle -> minhash -> band keys -> bucket self-join ->
-  *    verify with true shingle Jaccard
-  *  - SimHash: 30-bit fingerprints + hamming distance
+  *    verify with true shingle Jaccard over 60-bit shingle hashes
+  *  - SimHash: 60-bit fingerprints (4 disjoint 15-bit bands) + hamming
   *  - n-gram Jaccard: exact character-shingle overlap on candidate pairs
   *  - embedding-cosine near-dup: see [[graft.ann.Ann]]
   *
@@ -23,28 +23,40 @@ object Dedup {
   /** Exact dedup by content hash. Returns (doc_id, content_hash, keeper,
     * is_dup). One shuffle on the hash; at 100 TB this is the cheapest
     * possible dedup (hash computed in the scan stage, partial-aggregated).
+    * NULL text is unknown content, not identical content: such rows are
+    * their own keeper and never is_dup (the window would otherwise group
+    * every null hash together and mark all but one null-text doc a dup).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
     val keeper = Window.partitionBy(col("content_hash"))
     hashed
-      .withColumn("keeper", min(col("doc_id")).over(keeper))
+      .withColumn("keeper",
+        when(col("content_hash").isNull, col("doc_id"))
+          .otherwise(min(col("doc_id")).over(keeper)))
       .withColumn("is_dup", col("doc_id") =!= col("keeper"))
       .select("doc_id", "content_hash", "keeper", "is_dup")
   }
 
-  /** True character-shingle Jaccard between two string columns (the
-    * verify step after LSH candidate generation).
+  /** Shared near-dup verify: stage each doc's 60-bit shingle-hash set
+    * ONCE (eager materialization — the set is consumed by both join
+    * sides, and without the barrier the whole per-character shingling
+    * subtree re-evaluates per side), join it onto the candidate pairs,
+    * keep pairs with hash-set Jaccard >= threshold.
     */
-  def shingleJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    val sa = BlockingKeys.shingles(a, n)
-    val sb = BlockingKeys.shingles(b, n)
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = (size(sa) + size(sb)).cast("double") - inter
-    when(a.isNull || b.isNull, lit(0.0))
-      .when(a === b, lit(1.0))
-      .when(size(sa) === 0 || size(sb) === 0, lit(0.0))
-      .otherwise(inter / union)
+  private def verifyShingleJaccard(pairs: DataFrame, base: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
+      .select("doc_id", "__s")
+      .localCheckpoint(true)
+    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
+    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
+    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
+    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+      .withColumn("jaccard",
+        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
+      .where(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
   /** MinHash+LSH near-dup candidates: docs sharing any LSH band key,
@@ -62,18 +74,7 @@ object Dedup {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    // hashed shingle sets staged ONCE per doc (their own projection), so
-    // the verify join does a single long-set intersect per pair — not a
-    // re-shingling of both texts per candidate
-    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
-    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
-    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-      .withColumn("jaccard",
-        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
-      .where(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    verifyShingleJaccard(pairs, base, threshold)
   }
 
   /** SimHash near-dups: 60-bit fingerprint per doc (two independent
@@ -93,8 +94,14 @@ object Dedup {
                       maxHamming: Int = 3, maxBlockSize: Int = 10000,
                       saltedMaxBlockSize: Int = -1): DataFrame = {
     // materialize the fingerprints once (native one-pass kernel): they
-    // are consumed by the key table and both sides of the verify join
-    val base = df.select(col(idCol).as("doc_id"),
+    // are consumed by the key table and both sides of the verify join.
+    // null/empty text is excluded BEFORE keying (same policy as
+    // minhashNearDups): every contentless doc fingerprints to 0, so
+    // without the filter they would all share every band key and report
+    // each other as hamming-0 "near-dups" of unknown content.
+    val base = df
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
         BlockingKeys.simhash60(col(textCol)).as("simhash"))
       .localCheckpoint(true)
     val keys = base.select(
@@ -157,14 +164,6 @@ object Dedup {
       .select(col("doc_id"), explode(BlockingKeys.shingleHashes60(col("text"))).as("block_key"))
       .select("block_key", "doc_id")
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
-    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
-    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-      .withColumn("jaccard",
-        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
-      .where(col("jaccard") >= threshold)
-      .select("doc_id_a", "doc_id_b", "jaccard")
+    verifyShingleJaccard(pairs, base, threshold)
   }
 }

@@ -94,17 +94,6 @@ object OracleSql {
     s"""list_distinct(list_transform(${shingles(c)},
        | sh -> ${rollingHash("sh")} * ${1L << BlockingKeys.SimHashBits} + ${rollingHash2("sh")}))""".stripMargin
 
-  /** Shingle Jaccard (character n-grams). */
-  def shingleJaccard(a: String, b: String): String = {
-    val sa = shingles(a)
-    val sb = shingles(b)
-    val inter = s"len(list_intersect($sa, $sb))"
-    s"""(CASE WHEN $a = $b THEN 1.0
-       | WHEN length($a) = 0 OR length($b) = 0 THEN 0.0
-       | ELSE CAST($inter AS DOUBLE)
-       |      / CAST(len($sa) + len($sb) - $inter AS DOUBLE) END)""".stripMargin
-  }
-
   /** B5 sorted-neighborhood key over an already-normalized name
     * expression — mirrors BlockingKeys.sortedNeighborhoodKey (NULL for
     * blank input, handled by the caller's WHERE).

@@ -35,7 +35,11 @@ class BlockingKeysSpec extends AnyFunSuite {
   test("Column expression matches Scala mirror") {
     val spark = SparkTestSession.spark
     import spark.implicits._
-    val inputs = goldens.map(_._1) ++ Seq("Zebra Alpha", "one two three four")
+    // incl. whitespace adversaries: Spark trim strips SPACES only and
+    // split keeps trailing empties — the mirror must reproduce exactly
+    // what the engine does, garbage keys for whitespace-only included
+    val inputs = goldens.map(_._1) ++ Seq("Zebra Alpha", "one two three four",
+      "acme\t", "\t", " x ", "a  b", "x y")
     val got = inputs.toDF("name")
       .select(col("name"), BlockingKeys.defaultKeys(col("name")).as("keys"))
       .collect()

@@ -79,4 +79,24 @@ class DedupSpec extends AnyFunSuite {
       maxHamming = 30, maxBlockSize = 1)
     assert(capped.count() == 0)
   }
+
+  test("null/empty text: unknown content never reports as duplicate") {
+    val withNulls = Seq(
+      (1L, "same content"), (2L, "same content"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, ""), (6L, "   ")).toDF("doc_id", "text")
+    // exact: the two null-text docs are each their own keeper (md5(null)
+    // is null and the window would otherwise group them as one dup set)
+    val ex = Dedup.exact(withNulls, "doc_id", "text")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(ex(2L), "real exact dup still detected")
+    assert(!ex(3L) && !ex(4L), "null-text docs must not dedup against each other")
+    // simhash: null/empty docs fingerprint to 0 and are excluded before
+    // keying — with 3/4/5 gone, doc 6 (whitespace, also fingerprint 0)
+    // has no zero-fingerprint partner left, so NO pair involves 3..6
+    val sim = Dedup.simhashNearDups(withNulls, "doc_id", "text", maxHamming = 8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(sim.contains((1L, 2L)))
+    assert(!sim.exists(p => p._1 >= 3L || p._2 >= 3L), s"contentless pairs: $sim")
+  }
 }
