@@ -1176,7 +1176,7 @@ object SparkEntry {
            |FROM documents""".stripMargin,
 
       "q21_quality" -> {
-        val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+        val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
         val enWords = TextAnalysis.StopwordProfiles.head._2.map(w => s"'$w'").mkString(", ")
         val swr = s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains([$enWords], t))) AS DOUBLE) / len($toksLower) END)"
         val mtl = s"(CASE WHEN len($toksWs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($toksWs, t -> length(t))) AS DOUBLE) / len($toksWs) END)"

@@ -46,8 +46,14 @@ object MediaCodec {
     * from the content hash so downstream plumbing is fully exercisable
     * (contentHash is in [0, P), so the modulo is already non-negative).
     */
-  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
-    val h = (contentHash(bytes) % 1000L).toInt
+  def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) =
+    decodeFromHash(kind, contentHash(bytes))
+
+  /** Hash-threaded form: callers that already hashed the blob (the fused
+    * decode+features pass) must not pay another full byte scan.
+    */
+  def decodeFromHash(kind: String, hash: Long): (Int, Int, Long) = {
+    val h = (hash % 1000L).toInt
     kind match {
       case "image" => (320 + h % 8 * 160, 240 + h % 6 * 120, 0L)
       case "audio" => (0, 0, 1000L + h * 37L)
@@ -63,8 +69,11 @@ object MediaCodec {
     * the oracle checks the vector's shape, not its values, so the
     * wrapping multiply is fine here.)
     */
-  def featuresStub(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-    val h = contentHash(bytes) * 0x9E3779B97F4A7C15L
+  def featuresStub(bytes: Array[Byte], dim: Int = 8): Array[Float] =
+    featuresFromHash(contentHash(bytes), dim)
+
+  def featuresFromHash(hash: Long, dim: Int = 8): Array[Float] = {
+    val h = hash * 0x9E3779B97F4A7C15L
     Array.tabulate(dim)(i => (((h >>> (i * 7)) & 0xff).toFloat - 128f) / 128f)
   }
 }
@@ -77,9 +86,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       // one codec context per partition would be initialized here
       rows.map { r =>
-        val (w, hgt, dur) = MediaCodec.decodeStub(r.kind, r.bytes)
-        MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur,
-          MediaCodec.contentHash(r.bytes))
+        // hash once; decodeStub would otherwise scan the blob a 2nd time
+        val h = MediaCodec.contentHash(r.bytes)
+        val (w, hgt, dur) = MediaCodec.decodeFromHash(r.kind, h)
+        MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur, h)
       }
     }
   }
@@ -103,10 +113,14 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, hgt, dur) = MediaCodec.decodeStub(r.kind, r.bytes)
-        (MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur,
-          MediaCodec.contentHash(r.bytes)),
-          MediaCodec.featuresStub(r.bytes, dim))
+        // ONE pass over the blob: hash once, thread it through decode and
+        // features — the previous body hashed every blob three times,
+        // defeating the fusion this operator exists for (and with a real
+        // codec would have meant three decodes)
+        val h = MediaCodec.contentHash(r.bytes)
+        val (w, hgt, dur) = MediaCodec.decodeFromHash(r.kind, h)
+        (MediaMeta(r.doc_id, r.media_ref, r.kind, r.bytes.length.toLong, w, hgt, dur, h),
+          MediaCodec.featuresFromHash(h, dim))
       }
     }.toDF("meta", "features").select(col("meta.*"), col("features"))
   }

@@ -30,6 +30,9 @@ object Retention {
     */
   def purgeByIds(df: DataFrame, idCol: String, tombstones: DataFrame,
                  tombstoneIdCol: String): DataFrame =
-    df.join(tombstones.select(col(tombstoneIdCol).as(idCol)).distinct(),
+    // no distinct() on the tombstone set: an anti join never duplicates
+    // left rows whatever the right side holds — the dedup was an extra
+    // aggregate+exchange of the tombstone table for no semantic effect
+    df.join(tombstones.select(col(tombstoneIdCol).as(idCol)),
       Seq(idCol), "left_anti")
 }

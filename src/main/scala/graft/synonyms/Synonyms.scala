@@ -64,9 +64,16 @@ object Synonyms {
     synonyms.join(delta, Seq("entity_id", "normalized"), "left")
       .withColumn("support_count",
         col("support_count") + coalesce(col("__n"), lit(0L)))
+      // guarded on __seq, not a MinValue sentinel through greatest: an
+      // UNMATCHED row with NULL last_confirmed_seq must stay NULL
+      // ("unchanged"), and greatest() skips nulls, which would have
+      // leaked Long.MinValue into the data
       .withColumn("last_confirmed_seq",
-        greatest(col("last_confirmed_seq"), coalesce(col("__seq"), lit(Long.MinValue))))
+        when(col("__seq").isNull, col("last_confirmed_seq"))
+          .otherwise(greatest(col("last_confirmed_seq"), col("__seq"))))
       .drop("__n", "__seq")
+      .select("normalized", "value", "entity_id", "source", "confidence",
+        "support_count", "created_seq", "last_confirmed_seq")
   }
 
   /** M4 (batch): join-update of confidence — the closure of
@@ -76,16 +83,27 @@ object Synonyms {
     */
   def updateConfidence(synonyms: DataFrame, updates: DataFrame): DataFrame =
     synonyms.join(
-        updates.select(col("entity_id"), col("normalized"),
-          col("new_confidence").as("__nc")),
+        // pre-aggregate: duplicate update rows for one (entity, name) key
+        // would otherwise fan the left join out and break the synonym
+        // table's one-row-per-key invariant. The batch carries no order,
+        // so ties resolve to max(new_confidence) — deterministic and
+        // idempotent; callers with an ordering should pre-reduce
+        // themselves.
+        updates.groupBy(col("entity_id"), col("normalized"))
+          .agg(max(col("new_confidence")).as("__nc")),
         Seq("entity_id", "normalized"), "left")
       .withColumn("confidence", coalesce(col("__nc"), col("confidence")))
       .drop("__nc")
+      .select("normalized", "value", "entity_id", "source", "confidence",
+        "support_count", "created_seq", "last_confirmed_seq")
 
   /** L9: all synonyms for an entity set — a semi-join-shaped lookup,
     * broadcast when the entity set is small
     * (graph/CypherExecutor.java:140-152 findSynonymsByEntity).
     */
   def forEntities(synonyms: DataFrame, entityIds: DataFrame): DataFrame =
-    synonyms.join(entityIds.select("entity_id").distinct(), Seq("entity_id"), "left_semi")
+    // no distinct() on the id set: a semi join never duplicates left rows
+    // whatever the right side holds, and the dedup was a full extra
+    // aggregate+exchange of the id table for no semantic effect
+    synonyms.join(entityIds.select("entity_id"), Seq("entity_id"), "left_semi")
 }

@@ -43,13 +43,19 @@ object TextAnalysis {
     * (en first); no hits at all -> "und" (undetermined).
     */
   def langId(text: Column): Column = {
+    // array argmax, NOT a when-chain over per-language comparisons: the
+    // chain inlined the full 5-score subtree into every branch (~30
+    // copies of the split/filter expression per call — the same codegen
+    // blowup the MinHash HOF path hit). Here each langScore appears in
+    // ONE array constructor; array_position's first-match rule keeps the
+    // profile-order tie-break (en first).
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val scores = StopwordProfiles.map { case (lang, words) => lang -> langScore(toks, words) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    pick
+    val scores = array(StopwordProfiles.map { case (_, words) => langScore(toks, words) }: _*)
+    val langs = typedlit(StopwordProfiles.map(_._1))
+    val best = array_max(scores)
+    when(best > 0,
+      element_at(langs, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Stopword ratio against the English profile (quality signal). */
@@ -59,11 +65,16 @@ object TextAnalysis {
       .otherwise(langScore(toks, StopwordProfiles.head._2).cast("double") / size(toks))
   }
 
-  /** Punctuation-character ratio. */
+  /** Punctuation-character ratio. Unicode letter/number classes, not
+    * [a-zA-Z0-9]: the ASCII class counted every accented or CJK letter
+    * as punctuation, so high-quality fr/es/de/zh text (the languages
+    * StopwordProfiles supports) lost the whole punctuation component of
+    * qualityScore. RE2 mirrors the classes, so the oracle stays exact.
+    */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
       .otherwise(
-        (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double")
+        (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double")
           / length(text))
 
   /** Mean whitespace-token length. */

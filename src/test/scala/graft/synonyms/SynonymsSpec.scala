@@ -52,6 +52,31 @@ class SynonymsSpec extends AnyFunSuite {
     assert(out((2L, "globex")).getAs[Double]("confidence") == 0.5)
   }
 
+  test("updateConfidence: duplicate update rows do not fan the synonym table out") {
+    val syn = Synonyms.fromMentions(mentionsDF, "IMPORT", initialConfidence = 0.5)
+    val updates = Seq((1L, "acme", 0.91), (1L, "acme", 0.85))
+      .toDF("entity_id", "normalized", "new_confidence")
+    val out = Synonyms.updateConfidence(syn, updates)
+    assert(out.count() == syn.count(), "one row per key must survive duplicate updates")
+    val acme = out.where(col("entity_id") === 1L && col("normalized") === "acme").collect()
+    assert(acme.length == 1 && acme(0).getAs[Double]("confidence") == 0.91) // max wins
+    // schema order matches fromMentions (position-based unions/appends)
+    assert(out.columns.sameElements(syn.columns))
+  }
+
+  test("reinforce: NULL last_confirmed_seq on an unmatched row stays NULL (no sentinel leak)") {
+    val syn = Synonyms.fromMentions(mentionsDF, "IMPORT")
+      .withColumn("last_confirmed_seq",
+        when(col("normalized") === "globex", lit(null).cast("long"))
+          .otherwise(col("last_confirmed_seq")))
+    val batch = Seq((1L, "acme", 100L)).toDF("entity_id", "normalized", "seq")
+    val out = Synonyms.reinforce(syn, batch)
+    val globex = out.where(col("normalized") === "globex").collect()(0)
+    assert(globex.isNullAt(globex.fieldIndex("last_confirmed_seq")),
+      "unmatched NULL must pass through unchanged, not become Long.MinValue")
+    assert(out.columns.sameElements(syn.columns))
+  }
+
   test("forEntities: semi-join lookup") {
     val syn = Synonyms.fromMentions(mentionsDF, "IMPORT")
     val out = Synonyms.forEntities(syn, Seq(Tuple1(1L)).toDF("entity_id"))
