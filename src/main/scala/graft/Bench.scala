@@ -122,9 +122,12 @@ object Bench {
     // once and report whichever COMPLETE pair measured higher — each
     // reported (t_N, t_4N, efficiency) is a real measured run, never leg
     // times stitched across different JVM/noise conditions. The retry is
-    // one-sided by design (an upward-noise outlier is bounded by the
-    // engine's true scalability and is not re-rolled); both pairs land in
-    // stderr so the selection is auditable.
+    // one-sided (an upward-noise outlier is bounded by the engine's true
+    // scalability and is not re-rolled), so the selected number is
+    // best-of-two, NOT a single draw — the artifact says so: when the
+    // retry fires, BOTH measured pairs and the selection policy are
+    // recorded in the JSON itself, not just stderr.
+    var attempts = ""
     if (efficiency < 0.85) {
       System.err.println(
         f"[scaling] first-pair efficiency $efficiency%.3f < 0.85; re-running both legs (best complete pair wins)")
@@ -137,6 +140,8 @@ object Bench {
       val eff2 = (tN2 / t4N2) / 4.0
       System.err.println(
         f"[scaling] pair1: ${tN}%.1f/${t4N}%.1f s eff $efficiency%.3f; pair2: ${tN2}%.1f/${t4N2}%.1f s eff $eff2%.3f")
+      attempts =
+        f""","policy":"best_of_2_on_retry","pairs":[{"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,"efficiency":$efficiency%.3f},{"t_localN_sec":$tN2%.2f,"t_local4N_sec":$t4N2%.2f,"efficiency":$eff2%.3f}]"""
       if (eff2 > efficiency) {
         tN = tN2; t4N = t4N2; pairsN = pairsN2; pairs4N = pairs4N2
         efficiency = eff2
@@ -150,7 +155,13 @@ object Bench {
     // first touches a shared localCheckpoint (the r03 lifecycle-quartet
     // regression was exactly that first-touch reshuffle).
     spark = freshSession(cpus)
+    // the prewarm's shared-stage materialization is real work the sweep
+    // consumes; it is timed and reported as its own line item
+    // ("prewarm_sec") so "total" + prewarm_sec is the full sweep cost —
+    // nothing disappears from the artifact into untimed setup
+    val tPre0 = System.nanoTime()
     SparkEntry.prewarm(spark, sfDir)
+    val prewarmSec = (System.nanoTime() - tPre0) / 1e9
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch {
@@ -169,12 +180,12 @@ object Bench {
          |"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,
          |"docs_per_sec_N":${docsN / tN}%.0f,"docs_per_sec_4N":${docsN / t4N}%.0f,
          |"pairs_scored_per_sec_N":${pairsN / tN}%.0f,"pairs_scored_per_sec_4N":${pairs4N / t4N}%.0f,
-         |"speedup_N_to_4N":${tN / t4N}%.2f,"scaling_efficiency":$efficiency%.3f}"""
+         |"speedup_N_to_4N":${tN / t4N}%.2f,"scaling_efficiency":$efficiency%.3f$attempts}"""
         .stripMargin.replace("\n", "")
     spark.stop()
 
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec%.3f,"queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
     // Truncation-proof duplicate: the driver's artifact capture keeps only
     // the TAIL of the output and cut r03's single long line mid-stream
     // (losing "metric":"total" and six query timings). This short final
@@ -185,6 +196,6 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","scaling":$scaling,"queries_short":$qsShort}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","prewarm_sec":$prewarmSec%.3f,"sf":"$sfDir","scaling":$scaling,"queries_short":$qsShort}""")
   }
 }

@@ -1261,7 +1261,7 @@ object SparkEntry {
           s"SELECT doc_id, sh, 'b$i:' || ((sh >> ${i * BlockingKeys.SimHashBandBits}) % ${1L << BlockingKeys.SimHashBandBits}) AS bk FROM f"
         }.mkString("\n      UNION ALL ")
         s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents
-           |     WHERE text IS NOT NULL AND length(text) > 0),
+           |     WHERE text IS NOT NULL AND regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')),
            |k AS ($bandUnion),
            |ok AS (SELECT bk FROM k GROUP BY 1 HAVING count(*) <= 10000)
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -1576,7 +1576,9 @@ object SparkEntry {
         """SELECT doc_id, text FROM (
           |  SELECT doc_id, text,
           |    row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
-          |  FROM documents) WHERE rn = 1""".stripMargin,
+          |  FROM documents WHERE text IS NOT NULL) WHERE rn = 1
+          |UNION ALL
+          |SELECT doc_id, text FROM documents WHERE text IS NULL""".stripMargin,
 
       // full from-scratch recompute — identical chain to q08 by design
       "q65_incremental_resolve" ->

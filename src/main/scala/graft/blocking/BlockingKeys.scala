@@ -34,9 +34,12 @@ object BlockingKeys {
 
   /** Plain-Scala mirror of [[defaultKeys]] for the generator and tests —
     * the COLUMN semantics, faithfully: Spark `trim` strips ASCII spaces
-    * only (NOT all whitespace like String.trim), `lower` is
-    * locale-agnostic (Locale.ROOT here — a default-locale toLowerCase
-    * would produce dotless-i keys on a tr-TR JVM), and `split` keeps
+    * only (NOT all whitespace like String.trim), `lower` mirrors
+    * `UTF8String.toLowerCase` exactly — ASCII fast path for full-ASCII
+    * input, DEFAULT-LOCALE `String.toLowerCase` otherwise (that is what
+    * `toLowerCaseSlow` calls, so on a tr-TR JVM the ENGINE itself emits
+    * dotless-i keys for non-ASCII names containing 'I'; a Locale.ROOT
+    * mirror would silently disagree with it there) — and `split` keeps
     * trailing empty tokens (Java limit -1, not the default 0). A mirror
     * using the idiomatic String methods silently disagreed with the
     * engine on names with non-space whitespace. (Whitespace-only names
@@ -46,7 +49,15 @@ object BlockingKeys {
     */
   def defaultKeysScala(name: String): Seq[String] = {
     if (name == null) return Seq.empty
-    val lowered = name.toLowerCase(java.util.Locale.ROOT)
+    var fullAscii = true
+    var ci = 0
+    while (fullAscii && ci < name.length) {
+      if (name.charAt(ci) >= 0x80) fullAscii = false
+      ci += 1
+    }
+    val lowered =
+      if (fullAscii) name.toLowerCase(java.util.Locale.ROOT)
+      else name.toLowerCase() // UTF8String.toLowerCaseSlow: default locale
     var s = 0
     var e = lowered.length
     while (s < e && lowered.charAt(s) == ' ') s += 1

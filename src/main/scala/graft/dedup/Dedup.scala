@@ -95,12 +95,18 @@ object Dedup {
                       saltedMaxBlockSize: Int = -1): DataFrame = {
     // materialize the fingerprints once (native one-pass kernel): they
     // are consumed by the key table and both sides of the verify join.
-    // null/empty text is excluded BEFORE keying (same policy as
-    // minhashNearDups): every contentless doc fingerprints to 0, so
-    // without the filter they would all share every band key and report
-    // each other as hamming-0 "near-dups" of unknown content.
+    // TOKENLESS text is excluded BEFORE keying: every zero-token doc
+    // fingerprints to 0, so without the filter they would all share
+    // every band key and report each other as hamming-0 "near-dups" of
+    // unknown content. The guard must match the KERNEL's token notion —
+    // "contains a char outside Java \s" — because a whitespace-only doc
+    // passes a length()>0 check yet still fingerprints to 0 (the exact
+    // collapse the filter exists to prevent). The class is written out
+    // explicitly so the DuckDB mirror (RE2 \s lacks \x0B) is identical
+    // by construction.
     val base = df
-      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .where(col(textCol).isNotNull &&
+        col(textCol).rlike("[^ \\t\\n\\x0B\\f\\r]"))
       .select(col(idCol).as("doc_id"),
         BlockingKeys.simhash60(col(textCol)).as("simhash"))
       .localCheckpoint(true)

@@ -51,9 +51,17 @@ object Bulk {
     */
   def dedupBatch(df: DataFrame, nameCol: String, typeCol: Option[String] = None,
                  orderCol: Option[String] = None): DataFrame = {
-    val keyed = df.withColumn("__k", lower(trim(col(nameCol))))
+    // NULL names pass through untouched: a null key is UNKNOWN content,
+    // not shared content — grouping nulls (what dropDuplicates and
+    // window partitioning both do) would silently discard all but one
+    // null-named record as "duplicates" of nothing. Same policy as
+    // Dedup.exact; the import path never feeds nulls (rejectReason
+    // filters them), but this is public API.
+    val nulls = df.where(col(nameCol).isNull)
+    val keyed = df.where(col(nameCol).isNotNull)
+      .withColumn("__k", lower(trim(col(nameCol))))
     val cols = "__k" +: typeCol.toSeq
-    orderCol match {
+    val deduped = orderCol match {
       case None =>
         // reference semantics: keep ONE row per key. dropDuplicates keeps
         // whichever row the hash-agg sees first — fine when any
@@ -70,6 +78,7 @@ object Bulk {
         keyed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn", "__k")
     }
+    deduped.unionByName(nulls)
   }
 
   /** I3: CSV export (one directory per section, quoted/escaped like the

@@ -30,6 +30,11 @@ import graft.util.Args
   *   --checkpoint s3://bucket/er-ckpt [--trigger "30 seconds"]
   * }}}
   *
+  * Each state version holds `clusters`, `names`, `keys` and a
+  * cumulative `rejects` table (docs whose name was invalid or
+  * normalized to nothing — recorded like the batch pipeline's rejects
+  * output, so ingested-vs-clustered doc counts always reconcile).
+  *
   * State durability/idempotence: state versions live at
   * `state/v=<batchId>`, committed by creating `v=<id>/_COMMITTED` LAST
   * (a single atomic create — no rename-overwrite semantics to depend
@@ -123,12 +128,30 @@ object StreamResolveJob {
     // times within this micro-batch and must release their storage at
     // the end — a long-running stream would otherwise accumulate one
     // pinned block set per batch
-    val newNames = batch
+    // same validity gate as the batch pipeline (N8, ResolvePipeline's
+    // rejects split): an invalid name (blank/too_long/control_chars) or
+    // one that normalizes to nothing never enters the clustering —
+    // without the rejectReason conjunct the stream would happily cluster
+    // a doc the batch entry rejects
+    val named = batch
       .withColumn("name", Er.docName(col("spans")))
-      .withColumn("normalized", Normalizer.normalizeColumn(col("name")))
-      .where(col("normalized").isNotNull && col("normalized") =!= "")
-      .select("doc_id", "normalized")
+      .withColumn("reject_reason",
+        coalesce(Er.rejectReason(col("name")),
+          when(Normalizer.normalizeColumn(col("name")) === "",
+            lit("EMPTY_NORMALIZED"))))
+    val newNames = named
+      .where(col("reject_reason").isNull)
+      .select(col("doc_id"),
+        Normalizer.normalizeColumn(col("name")).as("normalized"))
       .persist()
+    // the dropped docs are RECORDED, like the batch pipeline's rejects
+    // table, instead of vanishing from the maintained state with no
+    // trace (state doc counts must reconcile with ingested counts).
+    // Consumed once (written below); no persist needed.
+    val newRejects = named
+      .where(col("reject_reason").isNotNull)
+      .select(col("doc_id"), col("name"), col("reject_reason"),
+        lit(batchId).as("batch_id"))
     val newKeys = stateKeys(newNames).persist()
     try {
       val (existing, existingNames, existingKeys) =
@@ -164,6 +187,14 @@ object StreamResolveJob {
           .getOrElse(stateKeys(spark.read.parquet(s"$stateRoot/v=$committed/names")))
           .unionByName(newKeys)
       allKeys.write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
+      // rejects are cumulative like names (versions get pruned, so a
+      // per-version increment would be lost with its version); old state
+      // without a rejects table migrates as empty
+      val rejectsPath = new Path(s"$stateRoot/v=$committed/rejects")
+      val allRejects =
+        if (committed < 0 || !fsOf(spark, stateRoot).exists(rejectsPath)) newRejects
+        else spark.read.parquet(rejectsPath.toString).unionByName(newRejects)
+      allRejects.write.mode(SaveMode.Overwrite).parquet(s"$out/rejects")
       commitVersion(spark, stateRoot, batchId)
     } finally {
       newKeys.unpersist(false)

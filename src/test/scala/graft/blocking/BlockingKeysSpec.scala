@@ -50,6 +50,32 @@ class BlockingKeysSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror matches engine under a tr-TR default locale (non-ASCII slow path)") {
+    // UTF8String.toLowerCase: ASCII fast path, else default-locale
+    // String.toLowerCase — so on a tr-TR JVM the ENGINE emits dotless-i
+    // keys for non-ASCII names containing 'I'. The mirror must follow the
+    // engine, not Locale.ROOT. (ASCII-only names never hit the slow path
+    // and stay locale-agnostic in both.)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val inputs = Seq("IŞIK LTD", "İstanbul AŞ", "PLAIN ASCII INC", "Ümit I")
+      val got = inputs.toDF("name")
+        .select(col("name"), BlockingKeys.defaultKeys(col("name")).as("keys"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+        .toMap
+      inputs.foreach { in =>
+        assert(got(in) == BlockingKeys.defaultKeysScala(in).toSet, s"parity on '$in'")
+      }
+      // the slow path really engaged: tr lowercasing of non-ASCII 'IŞIK'
+      // yields dotless ı, so the prefix key differs from the ROOT form
+      assert(got("IŞIK LTD").contains("pfx:ış" + "ı"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("sorted-token key handles reordered names") {
     // 'tok:' key is identical under token reorder (ADR-001 rationale)
     val a = BlockingKeys.defaultKeysScala("alpha beta").filter(_.startsWith("tok:"))

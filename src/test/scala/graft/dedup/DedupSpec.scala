@@ -99,4 +99,16 @@ class DedupSpec extends AnyFunSuite {
     assert(sim.contains((1L, 2L)))
     assert(!sim.exists(p => p._1 >= 3L || p._2 >= 3L), s"contentless pairs: $sim")
   }
+
+  test("simhash: TWO whitespace-only docs do not pair (tokenless, not just empty)") {
+    // both pass a length()>0 check yet tokenize to nothing -> both
+    // fingerprint to 0; the contentless guard must use the kernel's
+    // token notion (a char outside Java \s), or these report each other
+    // as hamming-0 near-dups of unknown content
+    val df = Seq((1L, "  "), (2L, "\t"), (3L, "  "),
+      (4L, "real text here"), (5L, "real text here")).toDF("doc_id", "text")
+    val sim = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 8)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(sim == Set((4L, 5L)), s"got $sim")
+  }
 }

@@ -51,6 +51,18 @@ class BulkSpec extends AnyFunSuite {
     assert(kept.sameElements(kept2))
   }
 
+  test("intra-batch dedup: NULL names pass through, never grouped as duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, null: String), (3L, "x"), (4L, "X"))
+      .toDF("seq", "name")
+    // both window (orderCol) and dropDuplicates paths must keep BOTH
+    // null rows: a null key is unknown content, not shared content
+    val winKept = Bulk.dedupBatch(df, "name", orderCol = Some("seq"))
+      .select("seq").as[Long].collect().sorted
+    assert(winKept.sameElements(Array(1L, 2L, 3L)))
+    assert(Bulk.dedupBatch(df, "name").count() == 3)
+  }
+
   test("CSV export round-trips") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-export").resolve("out")

@@ -69,6 +69,7 @@ class StreamResolveJobSpec extends AnyFunSuite {
     val all = b1.unionByName(b2)
     val names = all
       .withColumn("name", Er.docName(col("spans")))
+      .where(Er.rejectReason(col("name")).isNull)
       .withColumn("normalized", Normalizer.normalizeColumn(col("name")))
       .where(col("normalized") =!= "").select("doc_id", "normalized")
     val empty = all.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
@@ -135,6 +136,24 @@ class StreamResolveJobSpec extends AnyFunSuite {
     corpus(5, seed = 22L).coalesce(1).write.mode("append").parquet(in)
     assertThrows[IllegalStateException](StreamResolveJob.start(spark, Map(
       "input" -> in, "state" -> state, "checkpoint" -> tmp("sjob-ckpt4"))))
+  }
+
+  test("docs that normalize to nothing land in the state's rejects table, not nowhere") {
+    val state = tmp("sjob-state5")
+    val good = corpus(10, seed = 31L)
+    // a doc with no text spans: docName = "" -> normalized "" -> it can
+    // never enter the clustering; it must be RECORDED, not vanish
+    val nameless = good.limit(1)
+      .select(lit("s31-nameless").as("doc_id"),
+        filter(col("spans"), s => s.getField("kind") =!= "text").as("spans"))
+    StreamResolveJob.attachBatch(spark, state, good.unionByName(nameless), batchId = 0L)
+    val rejects = spark.read.parquet(s"$state/v=0/rejects").collect()
+    assert(rejects.map(_.getAs[String]("doc_id")).toSet == Set("s31-nameless"))
+    assert(rejects(0).getAs[String]("reject_reason") == "blank")
+    assert(!stateClusters(state).exists(_._1 == "s31-nameless"))
+    // rejects are cumulative across versions (old versions get pruned)
+    StreamResolveJob.attachBatch(spark, state, corpus(5, seed = 32L), batchId = 1L)
+    assert(spark.read.parquet(s"$state/v=1/rejects").count() == 1)
   }
 
   test("crash mid-write: an uncommitted version dir is invisible and the replay overwrites it") {
