@@ -88,6 +88,32 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
           maxIterations: Int = 50): DataFrame = {
+    // The iteration loop is SHUFFLE-bound, not CPU-per-row-bound, and the
+    // edge set CONTRACTS geometrically — so the pipeline's global
+    // "coalescing off" rationale (similarity kernels collapse to too few
+    // tasks) does not apply here, while its cost does: ~8 shuffles per
+    // iteration each at the full session partition count over an
+    // ever-shrinking edge table is pure task-scheduling overhead by the
+    // later rounds. AQE partition coalescing is exactly the right policy
+    // for this loop at every scale (billions of edges stay wide; the
+    // contracted tail collapses), so enable it CC-locally and restore the
+    // caller's setting after the eager loop finishes. The returned labels
+    // plan is lazy and evaluates under the caller's conf.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "true")
+    try {
+      runLoop(spark, edges, vertices, maxIterations)
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    }
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
+                      maxIterations: Int): DataFrame = {
     var e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
