@@ -46,7 +46,10 @@ object Ann {
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val it = items.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("query_emb"))
-    val scored = q.join(broadcast(it), col("query_id") =!= col("item_id"))
+    // broadcast the QUERY side (per the scaladoc): the corpus is the big
+    // side — streaming it keeps the nested-loop join parallel over item
+    // partitions and the broadcast bounded by |queries|, not |corpus|
+    val scored = it.join(broadcast(q), col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine(col("query_emb"), col("item_emb")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -258,10 +261,17 @@ object Ann {
                      bands: Int = 1, maxBlockSize: Int = 1000000,
                      saltedMaxBlockSize: Int = -1): DataFrame = {
     val it = items.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    // a band whose offset reaches the embedding's length would slice an
+    // EMPTY sign prefix — every row would share the degenerate key
+    // "<b>:", one corpus-wide block (all-pairs below the cap, silently
+    // dropped above it). Such bands carry no information; skip them
+    // per-row (short embeddings simply get fewer band keys).
     val keys = (0 until bands)
-      .map(b => it.select(
-        concat(lit(s"$b:"), signBucketAt(col("emb"), bits, b * bits)).as("block_key"),
-        col("vid").as("doc_id")))
+      .map(b => it
+        .where(size(col("emb")) > lit(b * bits))
+        .select(
+          concat(lit(s"$b:"), signBucketAt(col("emb"), bits, b * bits)).as("block_key"),
+          col("vid").as("doc_id")))
       .reduce(_ union _)
     val pairs = graft.pairs.CandidateGenerator
       .candidatePairs(keys, maxBlockSize, saltedMaxBlockSize)

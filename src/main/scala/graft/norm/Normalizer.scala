@@ -42,6 +42,16 @@ object Normalizer {
   val DATASET = "DATASET"
   val TABLE = "TABLE"
 
+  /** Faithful-port note: the reference's suffix patterns make BOTH
+    * separators optional (`,?\s*`) with no word boundary
+    * (rules/DefaultNormalizationRules.java:35-91), so they strip
+    * word-INTERNAL endings too — "Cisco" normalizes to "cis" (matches
+    * `Co$` mid-word), "Texaco" to "texa". That is the reference's own
+    * behavior (its tests pin it) and the oracle mirrors it; it is
+    * reproduced here deliberately, not an escaping bug. Callers who need
+    * boundary-safe suffix stripping should supply their own rule set
+    * with `\s+` separators.
+    */
   val companyRules: Seq[NormRule] = Seq(
     NormRule("company-inc", 10, """,?\s*(Inc\.?|Incorporated)$""", "", Set(COMPANY)),
     NormRule("company-ltd", 10, """,?\s*(Ltd\.?|Limited)$""", "", Set(COMPANY)),

@@ -148,9 +148,16 @@ object ResolvePipeline {
     // ids, changed spans included — can never be silently resumed from a
     // stale snapshot.
     def contentFp(df: DataFrame, cols: Seq[String]): String = {
+      // per-column NULL sentinel: xxhash64 SKIPS a null argument (the
+      // running hash is unchanged), so a value MOVING between two
+      // fingerprinted columns of a row — e.g. (status="ACTIVE",
+      // type=NULL) -> (status=NULL, type="ACTIVE") — would hash
+      // identically and silently resume every stale snapshot. The
+      // sentinel keeps nulls positional.
       val row = df.agg(
         count(lit(1)),
-        coalesce(sum(xxhash64(cols.map(col): _*)
+        coalesce(sum(xxhash64(cols.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
           .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).collect()(0)
       s"${row.get(0)}:${row.get(1)}"
     }
@@ -197,12 +204,17 @@ object ResolvePipeline {
     val valid = named.where(col("reject_reason").isNull).drop("reject_reason")
 
     // ---- M9 status half: only ACTIVE docs participate in matching; the
-    // rest pass through as singleton clusters at the end
+    // rest pass through as singleton clusters at the end. NULL-safe on
+    // purpose: `=== "ACTIVE"` AND `=!= "ACTIVE"` are both null-FALSE, so
+    // a doc with a NULL status would land in NEITHER side and vanish
+    // from every output — a NULL status is treated as not-active
+    // (singleton pass-through), consistent with the NULL type/tenant
+    // sentinel policy below.
     val statusCol = cfg.statusColumn.filter(docs.columns.contains)
     val (matchable, inactiveIds) = statusCol match {
       case Some(sc) => (
-        valid.where(col(sc) === "ACTIVE"),
-        Some(valid.where(col(sc) =!= "ACTIVE").select("doc_id")))
+        valid.where(coalesce(col(sc) === "ACTIVE", lit(false))),
+        Some(valid.where(coalesce(col(sc) =!= "ACTIVE", lit(true))).select("doc_id")))
       case None => (valid, None)
     }
     // M9 type half: thread the type column through pregrouping and the
@@ -251,10 +263,18 @@ object ResolvePipeline {
               typeCol.map(_ => col("__type")) ++
               tenantCol.map(_ => col("__tenant"))): _*)
         }
+        // non-checkpoint mode: materialize the rep table like allNames —
+        // it feeds the 3 key-table branches, both sides of the scoring
+        // join, the edge type-guard and the vertex set; left lazy, the
+        // groupBy shuffle re-executes once per consumer (~8x per run)
+        val repsMat = store match {
+          case Some(_) => reps
+          case None => timed("reps.localCheckpoint")(reps.localCheckpoint(true))
+        }
         val m = allNames
-          .join(reps.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
+          .join(repsMat.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
           .select(col("doc_id"), col("rep"))
-        (reps, Some(m))
+        (repsMat, Some(m))
       } else (allNames, None)
 
     // ---- blocking keys (B1 + B5 + B6): one unified (block_key, doc_id)
@@ -415,21 +435,33 @@ object ResolvePipeline {
           .select("src", "dst")
       case None => autoEdgesRaw
     }
-    // D7: override edges name RAW doc ids, but with exactPregroup the CC
-    // vertex set contains only exact-group representatives — remap each
-    // endpoint through repMap first, or an edge naming a non-rep doc
-    // would be silently ignored AND its raw id could leak in as a bogus
-    // min-label, breaking the "cluster_id = min member" invariant.
-    val edges = overrideEdges match {
+    // D7: override edges name RAW doc ids. Two hazards: (1) with
+    // exactPregroup the CC vertex set contains only exact-group
+    // representatives — remap each endpoint through repMap first, or an
+    // edge naming a non-rep doc would be silently ignored AND its raw id
+    // could leak in as a bogus min-label; (2) in EITHER mode an endpoint
+    // outside the matchable universe (rejected, inactive, unknown id)
+    // must not reach CC — an out-of-universe id smaller than the
+    // component's docs becomes the cluster_id and can collide with that
+    // doc's own singleton cluster, merging an inactive doc in violation
+    // of the M9 status guard. validOverride is the applied set; it is
+    // also what mergeEdges records below (provenance must assert only
+    // merges the clusters output actually made).
+    val validOverride = overrideEdges.map { o =>
+      val ids = allNames.select("doc_id")
+      o.select(col("src"), col("dst"))
+        .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    }
+    val edges = validOverride match {
       case Some(o) =>
         val remapped = repMap match {
           case Some(m) =>
             val srcRep = m.select(col("doc_id").as("src"), col("rep").as("__sr"))
             val dstRep = m.select(col("doc_id").as("dst"), col("rep").as("__dr"))
-            o.select(col("src"), col("dst"))
-              .join(srcRep, Seq("src")).join(dstRep, Seq("dst"))
+            o.join(srcRep, Seq("src")).join(dstRep, Seq("dst"))
               .select(col("__sr").as("src"), col("__dr").as("dst"))
-          case None => o.select(col("src"), col("dst"))
+          case None => o
         }
         autoEdges.union(remapped)
       case None => autoEdges
@@ -478,9 +510,12 @@ object ResolvePipeline {
       .join(pairScores.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"),
         col("score").as("confidence")), Seq("src", "dst"))
       .withColumn("reason", lit("AUTO_MERGE"))
-    val mergeEdges = overrideEdges match {
+    // only the VALIDATED override set: an edge the universe guard dropped
+    // was never applied to the clusters output and must not appear in the
+    // audit surface as a confidence-1.0 merge that did not happen
+    val mergeEdges = validOverride match {
       case Some(o) => scoredEdges.unionByName(
-        o.select(col("src"), col("dst")).withColumn("confidence", lit(1.0))
+        o.withColumn("confidence", lit(1.0))
           .withColumn("reason", lit("REVIEW_APPROVED")))
       case None => scoredEdges
     }

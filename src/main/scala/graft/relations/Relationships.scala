@@ -47,16 +47,23 @@ object Relationships {
 
   /** M6: migrate relationships across a merge — remap endpoints through
     * the cluster map (doc_id -> cluster_id), dropping self-loops the
-    * merge created (merge/MergeEngine.java relationship migration). One
+    * merge created (graph/CypherExecutor.java:167-210 migrateRelationships).
+    * LEFT joins: the reference rewrites only the MERGED endpoint and
+    * leaves the other node untouched whatever it is (`MATCH (source)-[r]->
+    * (target)` with no constraint on the far end), so an endpoint absent
+    * from the cluster map passes through unmapped — an inner join would
+    * silently DELETE every relationship touching an unmapped node. One
     * equi-join per endpoint; the cluster map is broadcastable when small.
     */
   def migrate(rels: DataFrame, clusterMap: DataFrame): DataFrame = {
     val cm = clusterMap.select(col("doc_id"), col("cluster_id"))
     rels
-      .join(cm.select(col("doc_id").as("src"), col("cluster_id").as("__sc")), Seq("src"))
-      .join(cm.select(col("doc_id").as("dst"), col("cluster_id").as("__dc")), Seq("dst"))
-      .where(col("__sc") =!= col("__dc"))
-      .select(col("rel_id"), col("__sc").as("src"), col("__dc").as("dst"),
+      .join(cm.select(col("doc_id").as("src"), col("cluster_id").as("__sc")), Seq("src"), "left")
+      .join(cm.select(col("doc_id").as("dst"), col("cluster_id").as("__dc")), Seq("dst"), "left")
+      .withColumn("__s", coalesce(col("__sc"), col("src")))
+      .withColumn("__d", coalesce(col("__dc"), col("dst")))
+      .where(col("__s") =!= col("__d"))
+      .select(col("rel_id"), col("__s").as("src"), col("__d").as("dst"),
         col("rel_type"), col("created_seq"), col("created_by"))
   }
 }

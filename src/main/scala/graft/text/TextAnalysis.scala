@@ -36,33 +36,64 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1", "men5"),
   )
 
-  private def langScore(toks: Column, stopwords: Seq[String]): Column =
-    size(filter(toks, t => stopwords.map(s => t === s).reduce(_ || _)))
+  /** Let-binding idiom for Column expressions: HOF subtrees are NOT
+    * shared by codegen (higher-order functions evaluate interpreted, so
+    * every textual occurrence re-runs the whole subtree, split()
+    * included — the MinHash staging lesson). Wrapping the value in a
+    * 1-element array and projecting through transform binds it to a
+    * lambda variable: the expensive expression evaluates ONCE per row
+    * however many times the body references it.
+    */
+  private def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** One fold over the whitespace tokens accumulating (count, payload);
+    * `hit` maps a token to the payload increment, `finish` consumes the
+    * bound accumulator. Every operator built on this splits the text
+    * exactly once per row.
+    */
+  private def tokenFold(text: Column, lowered: Boolean)
+                       (hit: Column => Column)(finish: (Column, Column) => Column): Column =
+    aggregate(
+      filter(split(if (lowered) lower(text) else text, "\\s+"), t => length(t) > 0),
+      struct(lit(0L).as("n"), lit(0L).as("acc")),
+      (a, t) => struct((a.getField("n") + 1L).as("n"),
+        (a.getField("acc") + hit(t)).as("acc")),
+      a => finish(a.getField("n"), a.getField("acc")))
 
   /** Language-ID: argmax of stopword hits; profile order breaks ties
-    * (en first); no hits at all -> "und" (undetermined).
+    * (en first); no hits at all -> "und" (undetermined). ONE pass: a
+    * single fold carries all 5 per-language counters, and the score
+    * array is let-bound so the argmax's three references don't re-run
+    * the fold (the old array-of-langScore form re-split the text once
+    * per profile per reference).
     */
   def langId(text: Column): Column = {
-    // array argmax, NOT a when-chain over per-language comparisons: the
-    // chain inlined the full 5-score subtree into every branch (~30
-    // copies of the split/filter expression per call — the same codegen
-    // blowup the MinHash HOF path hit). Here each langScore appears in
-    // ONE array constructor; array_position's first-match rule keeps the
-    // profile-order tie-break (en first).
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val scores = array(StopwordProfiles.map { case (_, words) => langScore(toks, words) }: _*)
+    val scores = aggregate(
+      filter(split(lower(text), "\\s+"), t => length(t) > 0),
+      struct(StopwordProfiles.indices.map(i => lit(0L).as(s"s$i")): _*),
+      (a, t) => struct(StopwordProfiles.zipWithIndex.map { case ((_, words), i) =>
+        (a.getField(s"s$i") +
+          when(words.map(s => t === s).reduce(_ || _), 1L).otherwise(0L)).as(s"s$i")
+      }: _*),
+      a => array(StopwordProfiles.indices.map(i => a.getField(s"s$i")): _*))
     val langs = typedlit(StopwordProfiles.map(_._1))
-    val best = array_max(scores)
-    when(best > 0,
-      element_at(langs, array_position(scores, best).cast("int")))
-      .otherwise(lit("und"))
+    bind(scores) { s =>
+      val best = array_max(s)
+      when(best > 0,
+        element_at(langs, array_position(s, best).cast("int")))
+        .otherwise(lit("und"))
+    }
   }
 
   /** Stopword ratio against the English profile (quality signal). */
   def stopwordRatio(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(langScore(toks, StopwordProfiles.head._2).cast("double") / size(toks))
+    val sw = StopwordProfiles.head._2
+    tokenFold(text, lowered = true)(
+      t => when(sw.map(s => t === s).reduce(_ || _), 1L).otherwise(0L)) {
+      (n, hits) =>
+        when(n === 0L, lit(0.0)).otherwise(hits.cast("double") / n)
+    }
   }
 
   /** Punctuation-character ratio. Unicode letter/number classes, not
@@ -77,22 +108,27 @@ object TextAnalysis {
         (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double")
           / length(text))
 
-  /** Mean whitespace-token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  /** Mean whitespace-token length (one fold; count and length sum ride
+    * the same pass, the ratio computes over the bound accumulator).
+    */
+  def meanTokenLen(text: Column): Column =
+    tokenFold(text, lowered = false)(t => length(t).cast("long")) { (n, len) =>
+      when(n === 0L, lit(0.0)).otherwise(len.cast("double") / n)
+    }
 
   /** Composite quality score in [0,1]: favors moderate length, low
     * punctuation, healthy token lengths. Deterministic and
     * SQL-reproducible; thresholds are corpus-filtering knobs, not magic.
+    * The token-length component folds inside meanTokenLen's single pass;
+    * the mtl band test runs over the bound ratio, so the text splits
+    * once per row (the old form re-split it per mtl reference).
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
     val punct = punctRatio(text)
-    val mtl = meanTokenLen(text)
-    val tokenScore = when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    val tokenScore = bind(meanTokenLen(text)) { mtl =>
+      when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    }
     greatest(lit(0.0), least(lit(1.0),
       lit(0.4) * lenScore + lit(0.4) * (lit(1.0) - punct) + lit(0.2) * tokenScore))
   }

@@ -183,6 +183,45 @@ class ResolvePipelineSpec extends AnyFunSuite {
     assert(clusters.values.toSet == Set("d1"), "cluster_id must stay the min member")
   }
 
+  test("D7: override edges naming out-of-universe ids are dropped from CC AND provenance") {
+    import spark.implicits._
+    // "ghost" is no doc at all; d3 is non-ACTIVE. An edge touching either
+    // must not reach CC (an out-of-universe id can become a bogus
+    // cluster_id colliding with d3's own singleton) and must not be
+    // recorded in mergeEdges as an applied confidence-1.0 merge.
+    val docs = Seq(
+      ("d1", "ACTIVE", Seq(graft.model.Span("text", "alpha industries", "", 0))),
+      ("d2", "ACTIVE", Seq(graft.model.Span("text", "unrelated name two", "", 0))),
+      ("d3", "MERGED", Seq(graft.model.Span("text", "parked entity", "", 0)))
+    ).toDF("doc_id", "status", "spans")
+    val overrides = Seq(("ghost", "d1"), ("d3", "d2"), ("d1", "d2")).toDF("src", "dst")
+    for (pregroup <- Seq(true, false)) {
+      val res = ResolvePipeline.run(spark, docs,
+        PipelineConfig(statusColumn = Some("status"), exactPregroup = pregroup),
+        Some(overrides))
+      val clusters = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(clusters("d1") == clusters("d2"), s"valid override must merge (pregroup=$pregroup)")
+      assert(clusters("d3") == "d3", s"inactive doc stays singleton (pregroup=$pregroup)")
+      assert(!clusters.values.toSet.contains("ghost"), s"ghost id must not label (pregroup=$pregroup)")
+      val applied = res.mergeEdges.where(col("reason") === "REVIEW_APPROVED")
+        .select("src", "dst").as[(String, String)].collect().toSet
+      assert(applied == Set(("d1", "d2")),
+        s"provenance must record only applied overrides (pregroup=$pregroup), got $applied")
+    }
+  }
+
+  test("NULL status: doc is a singleton, not silently dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "ACTIVE", Seq(graft.model.Span("text", "acme corporation", "", 0))),
+      ("d2", null.asInstanceOf[String], Seq(graft.model.Span("text", "acme corporation", "", 0)))
+    ).toDF("doc_id", "status", "spans")
+    val res = ResolvePipeline.run(spark, docs, PipelineConfig(statusColumn = Some("status")))
+    val clusters = res.clusters.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters.size == 2, "NULL-status doc must appear in the output")
+    assert(clusters("d2") == "d2", "NULL status = not active -> own singleton")
+  }
+
   test("M9 canMerge: cross-type pairs never merge; non-ACTIVE docs are singletons") {
     import spark.implicits._
     // d1/d2: identical names, different types -> no merge (not even the
