@@ -924,6 +924,21 @@ object SparkEntry {
         "text", orderCol = Some("doc_id"))
         .select("doc_id", "text")),
 
+    // --- incremental near-dup dedup (the LLM-pipeline twin of q65):
+    //     docs >= 400 arrive AFTER docs < 400 were ingested; the batch
+    //     pairs against the persisted corpus state (band keys + shingle
+    //     sets — corpus TEXT is never re-read) plus itself. The oracle is
+    //     the FULL-batch near-dup recompute over all 500 docs restricted
+    //     to pairs touching the batch — the hash match proves the
+    //     increment is exact, not approximate.
+    "q70_incremental_neardup" -> ((s, dir) => {
+      val docs = documents(s, dir).where(col("doc_id") < 500)
+      Dedup.minhashNearDupsIncrement(
+        docs.where(col("doc_id") >= 400), "doc_id", "text",
+        Dedup.minhashState(docs.where(col("doc_id") < 400), "doc_id", "text"),
+        threshold = 0.5).pairs
+    }),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1579,6 +1594,24 @@ object SparkEntry {
           |  FROM documents WHERE text IS NOT NULL) WHERE rn = 1
           |UNION ALL
           |SELECT doc_id, text FROM documents WHERE text IS NULL""".stripMargin,
+
+      // full-batch near-dup recompute (q18's chain) restricted to pairs
+      // touching the increment — must hash-equal the incremental path
+      "q70_incremental_neardup" ->
+        s"""WITH docs500 AS (SELECT doc_id, text FROM documents
+           |                 WHERE doc_id < 500 AND text IS NOT NULL AND length(text) > 0),
+           |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key FROM docs500),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |      FROM k a JOIN k b USING(block_key)
+           |      WHERE a.doc_id < b.doc_id AND (a.doc_id >= 400 OR b.doc_id >= 400)),
+           |sh AS (SELECT doc_id, ${O.shingleHashes60("text")} AS s FROM docs500),
+           |pr AS (SELECT doc_id_a, doc_id_b,
+           |       len(list_intersect(da.s, db.s)) AS i, len(da.s) AS la, len(db.s) AS lb
+           |       FROM p JOIN sh da ON da.doc_id = doc_id_a JOIN sh db ON db.doc_id = doc_id_b)
+           |SELECT doc_id_a, doc_id_b,
+           | CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
+           |FROM pr
+           |WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5""".stripMargin,
 
       // full from-scratch recompute — identical chain to q08 by design
       "q65_incremental_resolve" ->

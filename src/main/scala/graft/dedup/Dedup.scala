@@ -45,12 +45,21 @@ object Dedup {
     * keep pairs with hash-set Jaccard >= threshold.
     */
   private def verifyShingleJaccard(pairs: DataFrame, base: DataFrame,
-                                   threshold: Double): DataFrame = {
-    val sh = base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
-      .select("doc_id", "__s")
-      .localCheckpoint(true)
-    val a = sh.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
-    val b = sh.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
+                                   threshold: Double): DataFrame =
+    verifyFromSets(pairs,
+      base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
+        .select("doc_id", "__s")
+        .localCheckpoint(true),
+      threshold)
+
+  /** Verify candidate pairs against PRE-COMPUTED shingle-hash sets
+    * (doc_id, __s) — the form the incremental path uses, where the
+    * corpus sets are a persisted table, not re-derived from text.
+    */
+  private def verifyFromSets(pairs: DataFrame, sets: DataFrame,
+                             threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
+    val b = sets.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
     val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
     pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("jaccard",
@@ -75,6 +84,103 @@ object Dedup {
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
     verifyShingleJaccard(pairs, base, threshold)
+  }
+
+  /** Persisted corpus state for incremental near-dup: the LSH band-key
+    * table and the 60-bit shingle-hash sets — everything an increment
+    * needs, so the corpus TEXT is read exactly once (at ingest), never
+    * again. Both frames are meant to be written out (keys bucketed by
+    * `block_key` for an exchange-free increment join per
+    * [[graft.pairs.BucketedKeys]], shingle sets bucketed by `doc_id`)
+    * and read back per batch. Docs whose text yields no band key (null /
+    * empty) can never pair and are not carried.
+    */
+  final case class NearDupState(keys: DataFrame, shingles: DataFrame)
+
+  /** Derive [[NearDupState]] from raw docs (one pass over the text: the
+    * native minhash kernel for keys, the staged shingle-hash array for
+    * the verify sets).
+    */
+  def minhashState(df: DataFrame, idCol: String, textCol: String): NearDupState = {
+    val base = df
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    NearDupState(
+      BlockingKeys.minhashKeyTable(base, "doc_id", col("text")),
+      base.select(col("doc_id"),
+        BlockingKeys.shingleHashes60(col("text")).as("__s")))
+  }
+
+  /** Result of one dedup increment: the near-dup pairs TOUCHING the new
+    * batch (both orientations normalized to doc_id_a < doc_id_b, like the
+    * batch operator), and the batch's own state — append `state.keys` /
+    * `state.shingles` to the corpus tables to absorb the batch.
+    */
+  final case class NearDupIncrement(pairs: DataFrame, state: NearDupState)
+
+  /** Incremental MinHash near-dup — dedup a NEW batch against a corpus
+    * whose state ([[minhashState]]) is already persisted, without
+    * touching the corpus text: the increment's work is
+    * |new-keys| ⋈ |corpus-keys| (exchange-free on the big side when the
+    * corpus key table is bucketed by block_key) plus a self-join over the
+    * batch's own keys. This is what makes near-dup a MAINTAINED property
+    * of a 100 TB corpus rather than a one-shot job: a daily crawl batch
+    * costs O(batch) + one co-located join, not O(corpus).
+    *
+    * Exactness: band keys are per-doc deterministic, so {pairs sharing a
+    * band key, at least one side new} partitions into new–new (the
+    * batch self-join) and new–old (the increment join); the verify
+    * Jaccard is the same arithmetic over the same persisted sets. The
+    * increment therefore equals the full-batch [[minhashNearDups]] over
+    * corpus ∪ batch restricted to pairs touching the batch — exactly,
+    * whenever no block cap trips (property-tested, and hash-checked by
+    * q70's full-recompute oracle). Caps are per-increment like
+    * [[graft.pipeline.IncrementalResolve]]: the batch self-join caps on
+    * batch-side block counts, the increment join drops corpus blocks
+    * whose CORPUS row count exceeds the cap — the same production recall
+    * trade, evaluated on each side's own volume.
+    *
+    * Precondition: batch doc ids are DISJOINT from corpus ids (the
+    * ingest contract — an id carried by both would fan out the verify
+    * join through two shingle-set rows). Re-ingesting a changed doc is
+    * a retract-then-insert: drop its rows from the state tables first.
+    */
+  def minhashNearDupsIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                               corpus: NearDupState, threshold: Double = 0.7,
+                               maxBlockSize: Int = 10000): NearDupIncrement = {
+    // the batch state feeds both joins and the returned append set —
+    // materialize once (batches are small by definition; the corpus
+    // side stays lazy/persisted)
+    val raw = minhashState(newDocs, idCol, textCol)
+    val st = NearDupState(raw.keys.localCheckpoint(true),
+      raw.shingles.localCheckpoint(true))
+    incrementFromState(st, corpus, threshold, maxBlockSize)
+  }
+
+  /** The increment over an ALREADY-MATERIALIZED batch state — for
+    * callers that manage the batch tables' storage lifecycle themselves
+    * (the streaming job persists/unpersists per micro-batch; the eager
+    * localCheckpoints of the docs overload would accumulate pinned
+    * blocks for the life of the stream). The batch frames are consumed
+    * 2–3 times; pass them persisted.
+    */
+  def incrementFromState(batch: NearDupState, corpus: NearDupState,
+                         threshold: Double, maxBlockSize: Int): NearDupIncrement = {
+    val newNew = graft.pairs.CandidateGenerator
+      .candidatePairs(batch.keys, maxBlockSize)
+      .select("doc_id_a", "doc_id_b")
+    val okOld = corpus.keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlockSize).select("block_key")
+    val newOld = batch.keys.select(col("block_key"), col("doc_id").as("__new_id"))
+      .join(corpus.keys.join(okOld, Seq("block_key"))
+        .select(col("block_key"), col("doc_id").as("__old_id")), Seq("block_key"))
+      .where(col("__new_id") =!= col("__old_id"))
+      .select(least(col("__new_id"), col("__old_id")).as("doc_id_a"),
+        greatest(col("__new_id"), col("__old_id")).as("doc_id_b"))
+      .distinct()
+    val sets = corpus.shingles.unionByName(batch.shingles)
+    NearDupIncrement(
+      verifyFromSets(newNew.unionByName(newOld), sets, threshold), batch)
   }
 
   /** SimHash near-dups: 60-bit fingerprint per doc (two independent

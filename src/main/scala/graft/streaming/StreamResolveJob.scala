@@ -73,38 +73,7 @@ object StreamResolveJob {
       required = Set("input", "state", "checkpoint"),
       usage = Usage)
 
-  private def fsOf(spark: SparkSession, stateRoot: String) =
-    new Path(stateRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Committed versions, ascending. A version counts only once its
-    * `_COMMITTED` marker exists — partial writes are invisible.
-    */
-  private def committedVersions(spark: SparkSession, stateRoot: String): Seq[Long] = {
-    val fs = fsOf(spark, stateRoot)
-    val root = new Path(stateRoot)
-    if (!fs.exists(root)) return Nil
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") &&
-        fs.exists(new Path(p, "_COMMITTED")))
-      .map(_.getName.drop(2).toLong).sorted.toSeq
-  }
-
-  private def latestVersion(spark: SparkSession, stateRoot: String): Long =
-    committedVersions(spark, stateRoot).lastOption.getOrElse(-1L)
-
-  private def commitVersion(spark: SparkSession, stateRoot: String, v: Long): Unit = {
-    val fs = fsOf(spark, stateRoot)
-    fs.create(new Path(s"$stateRoot/v=$v/_COMMITTED"), true).close()
-    // keep the last two COMMITTED versions (previous one stays for
-    // readers mid-swap); delete every other v= dir — older committed
-    // snapshots AND uncommitted leftovers from failed attempts, which
-    // must never count toward the keep-2 window
-    val keep = committedVersions(spark, stateRoot).takeRight(2)
-      .map(id => s"v=$id").toSet
-    fs.listStatus(new Path(stateRoot)).map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") && !keep(p.getName))
-      .foreach(p => fs.delete(p, true))
-  }
+  import VersionedState.{fsOf, latestVersion, commitVersion}
 
   private def stateKeys(names: DataFrame): DataFrame =
     BlockingKeys.explodeKeys(names, "doc_id",
@@ -207,25 +176,7 @@ object StreamResolveJob {
     val input = opts("input")
     val stateRoot = opts("state")
     val ckpt = opts("checkpoint")
-    // lineage guard: a fresh checkpoint restarts batchIds at 0, which the
-    // replay-skip guard would read as "already committed" — refuse to pair
-    // a fresh checkpoint with non-empty state instead of dropping data
-    val ckptOffsets = new Path(s"$ckpt/offsets")
-    val ckptFresh = !fsOf(spark, ckpt).exists(ckptOffsets)
-    val stateEmpty = latestVersion(spark, stateRoot) < 0
-    if (ckptFresh && !stateEmpty)
-      throw new IllegalStateException(
-        s"state root $stateRoot has committed versions but checkpoint $ckpt is fresh; " +
-          "state and checkpoint form one lineage — restore the original checkpoint " +
-          "or start a new state root")
-    // symmetric divergence: a retained checkpoint over a lost/retargeted
-    // state root would resume skipping every file the checkpoint already
-    // recorded — the rebuilt clustering would silently miss all of them
-    if (!ckptFresh && stateEmpty)
-      throw new IllegalStateException(
-        s"checkpoint $ckpt has recorded progress but state root $stateRoot has no " +
-          "committed versions; resuming would skip every previously ingested file — " +
-          "restore the state root or start a fresh checkpoint AND state together")
+    VersionedState.lineageGuard(spark, ckpt, stateRoot)
     val weights = opts.get("weights").map { s =>
       val (l, j, t) = Args.triple(s, "--weights"); SimilarityWeights(l, j, t)
     }.getOrElse(SimilarityWeights.default)
