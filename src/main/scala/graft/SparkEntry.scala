@@ -939,6 +939,18 @@ object SparkEntry {
         threshold = 0.5).pairs
     }),
 
+    // --- incremental SimHash near-dup (q31's increment form): the batch
+    //     (docs >= 400) pairs against the persisted fingerprint key
+    //     table plus itself; oracle = q31's full recompute restricted to
+    //     pairs touching the batch
+    "q71_incremental_simhash" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.simhashNearDupsIncrement(
+        docs.where(col("doc_id") >= 400), "doc_id", "text",
+        Dedup.simhashState(docs.where(col("doc_id") < 400), "doc_id", "text"),
+        maxHamming = 8).pairs
+    }),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1283,6 +1295,23 @@ object SparkEntry {
            | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
            |FROM k a JOIN ok USING(bk) JOIN k b USING(bk)
            |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin
+      },
+
+      "q71_incremental_simhash" -> {
+        val bandUnion = (0 until BlockingKeys.SimHashBands).map { i =>
+          s"SELECT doc_id, sh, 'b$i:' || ((sh >> ${i * BlockingKeys.SimHashBandBits}) % ${1L << BlockingKeys.SimHashBandBits}) AS bk FROM f"
+        }.mkString("\n      UNION ALL ")
+        // q31's chain restricted to pairs touching the increment
+        // (doc_id >= 400) — must hash-equal the incremental path
+        s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents
+           |     WHERE text IS NOT NULL AND regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')),
+           |k AS ($bandUnion),
+           |ok AS (SELECT bk FROM k GROUP BY 1 HAVING count(*) <= 10000)
+           |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+           |FROM k a JOIN ok USING(bk) JOIN k b USING(bk)
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
+           | AND (a.doc_id >= 400 OR b.doc_id >= 400)""".stripMargin
       },
 
       "q32_event_windows" ->

@@ -230,18 +230,7 @@ object Dedup {
       // count <= maxBlockSize. The dominant cost at scale is the
       // within-bucket pair stream itself, which the 4x15-bit banding
       // keeps selective (hot buckets = genuinely identical fingerprints).
-      val ok = keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
-        .where(col("__n") <= maxBlockSize).select("block_key")
-      val l = keys.join(ok, Seq("block_key"))
-        .select(col("block_key"), col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
-      val r = keys.join(ok, Seq("block_key"))
-        .select(col("block_key"), col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
-      l.join(r, Seq("block_key"))
-        .where(col("doc_id_a") < col("doc_id_b"))
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-        .where(col("hamming") <= maxHamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
-        .distinct()
+      fusedHammingPairs(keys, maxHamming, maxBlockSize)
     } else {
       // Salted path for hot buckets beyond the cap: route through the
       // generic capped/salted generator, then re-attach fingerprints.
@@ -254,6 +243,90 @@ object Dedup {
         .where(col("hamming") <= maxHamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     }
+  }
+
+  /** The fused self-band-join over a (block_key, doc_id, simhash) key
+    * table (see [[simhashNearDups]] for why fused beats
+    * generic-then-reattach).
+    */
+  private def fusedHammingPairs(keys: DataFrame, maxHamming: Int,
+                                maxBlockSize: Int): DataFrame = {
+    val ok = keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlockSize).select("block_key")
+    val l = keys.join(ok, Seq("block_key"))
+      .select(col("block_key"), col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
+    val r = keys.join(ok, Seq("block_key"))
+      .select(col("block_key"), col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("block_key"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_id_a", "doc_id_b", "hamming")
+      .distinct()
+  }
+
+  /** Persisted corpus state for incremental SimHash near-dup: the
+    * (block_key, doc_id, simhash) band-key table — fingerprints RIDE the
+    * key table exactly like the batch fused path, so the increment join
+    * runs its hamming filter inside the join codegen too. Persist
+    * bucketed by block_key for an exchange-free increment join. Lazy;
+    * callers materialize. Same tokenless-doc exclusion as the batch
+    * operator (zero-token docs fingerprint to 0 and would all collide).
+    */
+  def simhashState(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull &&
+        col(textCol).rlike("[^ \\t\\n\\x0B\\f\\r]"))
+      .select(col(idCol).as("doc_id"),
+        BlockingKeys.simhash60(col(textCol)).as("simhash"))
+      .select(
+        explode(BlockingKeys.simhashBandKeys(col("simhash"))).as("block_key"),
+        col("doc_id"), col("simhash"))
+
+  /** Result of one SimHash increment: pairs touching the batch
+    * (doc_id_a < doc_id_b like the batch operator) and the batch's key
+    * table to append to the corpus state.
+    */
+  final case class SimhashIncrement(pairs: DataFrame, keys: DataFrame)
+
+  /** Incremental SimHash near-dup — the [[minhashNearDupsIncrement]]
+    * pattern for the fingerprint family: batch-vs-batch via the fused
+    * band self-join, batch-vs-corpus via one key join against the
+    * persisted state (hamming filtered inside the join). Equals the
+    * full-batch [[simhashNearDups]] over corpus ∪ batch restricted to
+    * pairs touching the batch — exactly, whenever no cap trips (caps are
+    * per-increment, each side's own block counts; same contract as the
+    * MinHash increment). The hamming ≤ 3 pigeonhole recall guarantee is
+    * unchanged: band keys are a pure function of the fingerprint, so any
+    * qualifying cross pair still agrees on a whole band. Same
+    * disjoint-ids ingest precondition as [[minhashNearDupsIncrement]].
+    */
+  def simhashNearDupsIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                               corpusKeys: DataFrame, maxHamming: Int = 3,
+                               maxBlockSize: Int = 10000): SimhashIncrement =
+    incrementFromSimhashKeys(
+      simhashState(newDocs, idCol, textCol).localCheckpoint(true),
+      corpusKeys, maxHamming, maxBlockSize)
+
+  /** The increment over an already-materialized batch key table (the
+    * storage-lifecycle split, as [[incrementFromState]]).
+    */
+  def incrementFromSimhashKeys(batchKeys: DataFrame, corpusKeys: DataFrame,
+                               maxHamming: Int, maxBlockSize: Int): SimhashIncrement = {
+    val newNew = fusedHammingPairs(batchKeys, maxHamming, maxBlockSize)
+    val okOld = corpusKeys.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlockSize).select("block_key")
+    val newOld = batchKeys
+      .select(col("block_key"), col("doc_id").as("__nid"), col("simhash").as("__nsh"))
+      .join(corpusKeys.join(okOld, Seq("block_key"))
+        .select(col("block_key"), col("doc_id").as("__oid"), col("simhash").as("__osh")),
+        Seq("block_key"))
+      .where(col("__nid") =!= col("__oid"))
+      .withColumn("hamming", bit_count(col("__nsh").bitwiseXOR(col("__osh"))))
+      .where(col("hamming") <= maxHamming)
+      .select(least(col("__nid"), col("__oid")).as("doc_id_a"),
+        greatest(col("__nid"), col("__oid")).as("doc_id_b"), col("hamming"))
+      .distinct()
+    SimhashIncrement(newNew.unionByName(newOld), batchKeys)
   }
 
   /** Exact n-gram Jaccard near-dups: candidates come from EXACT shingle

@@ -69,6 +69,26 @@ class DedupIncrementSpec extends AnyFunSuite {
     assert(pairSet(inc2.pairs).exists { case (a, b, _) => a >= 30 && a < 40 && b >= 40 })
   }
 
+  test("simhash increment == full recompute restricted to pairs touching the batch") {
+    val all = mkDocs(0 until 40).toDF("doc_id", "text")
+    val corpus = all.where(col("doc_id") < 30)
+    val batch = all.where(col("doc_id") >= 30)
+
+    def hamSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("doc_id_a"), col("doc_id_b"), col("hamming").cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+
+    val full = hamSet(Dedup.simhashNearDups(all, "doc_id", "text", maxHamming = 12))
+    val fullTouchingBatch = full.filter { case (a, b, _) => a >= 30 || b >= 30 }
+    assert(fullTouchingBatch.nonEmpty, "fixture must produce cross-boundary simhash pairs")
+
+    val inc = Dedup.simhashNearDupsIncrement(batch, "doc_id", "text",
+      Dedup.simhashState(corpus, "doc_id", "text"), maxHamming = 12)
+    assert(hamSet(inc.pairs) == fullTouchingBatch)
+    assert(hamSet(inc.pairs).exists { case (a, b, _) => a < 30 && b >= 30 },
+      "must include batch-vs-corpus pairs")
+  }
+
   test("bucketed corpus state: same pairs, corpus side exchange-free") {
     val all = mkDocs(0 until 40).toDF("doc_id", "text")
     val corpus = all.where(col("doc_id") < 30)
