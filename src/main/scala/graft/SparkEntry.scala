@@ -951,6 +951,16 @@ object SparkEntry {
         maxHamming = 8).pairs
     }),
 
+    // --- corpus curation (lang allowlist -> quality floor -> transitive
+    //     near-dup removal): the training-data ingest composition, one
+    //     auditable disposition row per doc. doc_id < 500 like q18 (the
+    //     synthetic corpus is so self-similar that unrestricted bands
+    //     collide massively — a property of the testdata, not the op)
+    "q72_curate" -> ((s, dir) =>
+      graft.curate.Curation.curate(s,
+        documents(s, dir).where(col("doc_id") < 500), "doc_id", "text",
+        langAllow = Set("en"), minQuality = 0.5, nearDupThreshold = 0.5)),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1049,6 +1059,16 @@ object SparkEntry {
     val bpe = TextAnalysis.BpeishPattern
     val toksLower = O.lowerTokens("text")
     val toksWs = "list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)"
+    // quality-score pieces shared by q21 and q72 (the curation mirror)
+    val punctSql = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
+    val enWordsSql = TextAnalysis.StopwordProfiles.head._2.map(w => s"'$w'").mkString(", ")
+    val swrSql = s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains([$enWordsSql], t))) AS DOUBLE) / len($toksLower) END)"
+    val mtlSql = s"(CASE WHEN len($toksWs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($toksWs, t -> length(t))) AS DOUBLE) / len($toksWs) END)"
+    val qualitySql = {
+      val lenScore = s"least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
+      val tokenScore = s"(CASE WHEN $mtlSql >= 3.0 AND $mtlSql <= 12.0 THEN 1.0 ELSE 0.5 END)"
+      s"greatest(0.0, least(1.0, 0.4 * $lenScore + 0.4 * (1.0 - $punctSql) + 0.2 * $tokenScore))"
+    }
     ListMap(
       "q01_normalize" ->
         s"SELECT doc_id, $normSql AS normalized FROM documents",
@@ -1202,18 +1222,11 @@ object SparkEntry {
            | len(regexp_extract_all(text, '$bpe')) AS bpeish_tokens
            |FROM documents""".stripMargin,
 
-      "q21_quality" -> {
-        val punct = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) END)"
-        val enWords = TextAnalysis.StopwordProfiles.head._2.map(w => s"'$w'").mkString(", ")
-        val swr = s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains([$enWords], t))) AS DOUBLE) / len($toksLower) END)"
-        val mtl = s"(CASE WHEN len($toksWs) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($toksWs, t -> length(t))) AS DOUBLE) / len($toksWs) END)"
-        val lenScore = s"least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)"
-        val tokenScore = s"(CASE WHEN $mtl >= 3.0 AND $mtl <= 12.0 THEN 1.0 ELSE 0.5 END)"
-        s"""SELECT doc_id, $punct AS punct_ratio, $swr AS stopword_ratio,
-           | $mtl AS mean_token_len,
-           | greatest(0.0, least(1.0, 0.4 * $lenScore + 0.4 * (1.0 - $punct) + 0.2 * $tokenScore)) AS quality
-           |FROM documents""".stripMargin
-      },
+      "q21_quality" ->
+        s"""SELECT doc_id, $punctSql AS punct_ratio, $swrSql AS stopword_ratio,
+           | $mtlSql AS mean_token_len,
+           | $qualitySql AS quality
+           |FROM documents""".stripMargin,
 
       "q22_langid" ->
         s"""SELECT doc_id, ${O.langId("text")} AS predicted,
@@ -1313,6 +1326,41 @@ object SparkEntry {
            |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
            | AND (a.doc_id >= 400 OR b.doc_id >= 400)""".stripMargin
       },
+
+      // the curation mirror: signals -> eligibility -> q18's near-dup
+      // chain over the eligible slice -> recursive-CTE CC -> disposition.
+      // MATERIALIZED hints keep DuckDB from re-evaluating the minhash
+      // chain per recursion step (the q29 lesson).
+      "q72_curate" ->
+        s"""WITH RECURSIVE sig AS MATERIALIZED (
+           |  SELECT doc_id, ${O.langId("text")} AS lang, $qualitySql AS quality
+           |  FROM documents WHERE doc_id < 500),
+           |elig AS MATERIALIZED (
+           |  SELECT s.doc_id, d.text FROM sig s JOIN documents d USING(doc_id)
+           |  WHERE s.lang IN ('en') AND coalesce(s.quality, -1) >= 0.5),
+           |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key
+           |      FROM elig WHERE text IS NOT NULL AND length(text) > 0),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |      FROM k a JOIN k b USING(block_key) WHERE a.doc_id < b.doc_id),
+           |sh AS MATERIALIZED (SELECT doc_id, ${O.shingleHashes60("text")} AS s FROM elig),
+           |pr AS MATERIALIZED (
+           |  SELECT doc_id_a, doc_id_b
+           |  FROM p JOIN sh da ON da.doc_id = doc_id_a JOIN sh db ON db.doc_id = doc_id_b
+           |  WHERE CAST(len(list_intersect(da.s, db.s)) AS DOUBLE)
+           |        / CAST(len(da.s) + len(db.s) - len(list_intersect(da.s, db.s)) AS DOUBLE) >= 0.5),
+           |und AS (SELECT doc_id_a AS s2, doc_id_b AS d2 FROM pr
+           |        UNION SELECT doc_id_b, doc_id_a FROM pr),
+           |cc(node, cl) AS (SELECT s2, s2 FROM und
+           |                 UNION
+           |                 SELECT und.d2, cc.cl FROM cc JOIN und ON und.s2 = cc.node),
+           |lbl AS (SELECT node AS doc_id, min(cl) AS cluster_id FROM cc GROUP BY node)
+           |SELECT doc_id, lang, quality, drop_reason IS NULL AS keep, drop_reason FROM (
+           |  SELECT g.doc_id, g.lang, g.quality,
+           |   CASE WHEN g.lang NOT IN ('en') THEN 'lang'
+           |        WHEN coalesce(g.quality, -1) < 0.5 THEN 'quality'
+           |        WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> g.doc_id THEN 'near_dup'
+           |   END AS drop_reason
+           |  FROM sig g LEFT JOIN lbl l USING(doc_id))""".stripMargin,
 
       "q32_event_windows" ->
         s"""SELECT date_trunc('hour', ts) AS hour, event_type,
