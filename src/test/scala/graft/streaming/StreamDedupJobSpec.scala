@@ -81,6 +81,32 @@ class StreamDedupJobSpec extends AnyFunSuite {
     assert(VersionedState.latestVersion(spark, state) == 1L)
   }
 
+  test("simhash mode: streamed batches == full-batch simhash recompute; algo mismatch refuses") {
+    val in = tmp("sdj-sh-in"); val state = tmp("sdj-sh-state"); val ckpt = tmp("sdj-sh-ckpt")
+    mkDocs(0 until 25).coalesce(1).write.mode("append").parquet(in)
+    mkDocs(25 until 40).coalesce(1).write.mode("append").parquet(in)
+
+    val q = StreamDedupJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "algo" -> "simhash", "max-hamming" -> "12", "max-files-per-trigger" -> "1"))
+    q.awaitTermination()
+
+    val full = Dedup.simhashNearDups(mkDocs(0 until 40), "doc_id", "text",
+      maxHamming = 12)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val streamed = statePairs(state)
+    assert(streamed == full && streamed.nonEmpty)
+    assert(streamed.exists { case (a, b) => a < 25 && b >= 25 },
+      "cross-batch simhash pairs must be present")
+
+    // a simhash state root must refuse a minhash resume
+    val e = intercept[IllegalStateException] {
+      StreamDedupJob.attachBatch(spark, state, mkDocs(40 until 45), batchId = 99L,
+        algo = "minhash")
+    }
+    assert(e.getMessage.contains("--algo simhash"))
+  }
+
   test("lineage guard: fresh checkpoint over committed state refuses") {
     val in = tmp("sdj-lg-in"); val state = tmp("sdj-lg-state")
     mkDocs(0 until 5).coalesce(1).write.mode("append").parquet(in)
