@@ -1315,16 +1315,31 @@ object SparkEntry {
           s"SELECT doc_id, sh, 'b$i:' || ((sh >> ${i * BlockingKeys.SimHashBandBits}) % ${1L << BlockingKeys.SimHashBandBits}) AS bk FROM f"
         }.mkString("\n      UNION ALL ")
         // q31's chain restricted to pairs touching the increment
-        // (doc_id >= 400) — must hash-equal the incremental path
+        // (doc_id >= 400) — must hash-equal the incremental path. The
+        // mirror models the increment's CAP semantics faithfully: the
+        // batch self-join caps on BATCH-side band counts, the
+        // batch-vs-corpus join on CORPUS-side counts (each side's own
+        // volume — Dedup.incrementFromSimhashKeys), NOT on the combined
+        // count a full-recompute would see. Identical output while no
+        // band bucket nears the cap (true at sf0.01), and the gate stays
+        // faithful on data where one does.
         s"""WITH f AS MATERIALIZED (SELECT doc_id, ${O.simhash(toksLower)} AS sh FROM documents
            |     WHERE text IS NOT NULL AND regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')),
            |k AS ($bandUnion),
-           |ok AS (SELECT bk FROM k GROUP BY 1 HAVING count(*) <= 10000)
+           |kb AS (SELECT * FROM k WHERE doc_id >= 400),
+           |kc AS (SELECT * FROM k WHERE doc_id < 400),
+           |okb AS (SELECT bk FROM kb GROUP BY 1 HAVING count(*) <= 10000),
+           |okc AS (SELECT bk FROM kc GROUP BY 1 HAVING count(*) <= 10000)
            |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-           |FROM k a JOIN ok USING(bk) JOIN k b USING(bk)
+           |FROM kb a JOIN okb USING(bk) JOIN kb b USING(bk)
            |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
-           | AND (a.doc_id >= 400 OR b.doc_id >= 400)""".stripMargin
+           |UNION
+           |SELECT DISTINCT least(a.doc_id, c.doc_id) AS doc_id_a,
+           | greatest(a.doc_id, c.doc_id) AS doc_id_b,
+           | CAST(bit_count(xor(a.sh, c.sh)) AS INT) AS hamming
+           |FROM kb a JOIN okc USING(bk) JOIN kc c USING(bk)
+           |WHERE bit_count(xor(a.sh, c.sh)) <= 8""".stripMargin
       },
 
       // the curation mirror: signals -> eligibility -> q18's near-dup
@@ -1673,14 +1688,25 @@ object SparkEntry {
           |SELECT doc_id, text FROM documents WHERE text IS NULL""".stripMargin,
 
       // full-batch near-dup recompute (q18's chain) restricted to pairs
-      // touching the increment — must hash-equal the incremental path
+      // touching the increment — must hash-equal the incremental path.
+      // Caps mirror the increment's per-side semantics (batch self-join
+      // caps on batch block counts, increment join on corpus counts —
+      // Dedup.incrementFromState), not the combined count; see q71.
       "q70_incremental_neardup" ->
         s"""WITH docs500 AS (SELECT doc_id, text FROM documents
            |                 WHERE doc_id < 500 AND text IS NOT NULL AND length(text) > 0),
            |k AS (SELECT doc_id, unnest(${O.minhashBandKeysList("text")}) AS block_key FROM docs500),
+           |kb AS (SELECT * FROM k WHERE doc_id >= 400),
+           |kc AS (SELECT * FROM k WHERE doc_id < 400),
+           |okb AS (SELECT block_key FROM kb GROUP BY 1 HAVING count(*) <= 10000),
+           |okc AS (SELECT block_key FROM kc GROUP BY 1 HAVING count(*) <= 10000),
            |p AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           |      FROM k a JOIN k b USING(block_key)
-           |      WHERE a.doc_id < b.doc_id AND (a.doc_id >= 400 OR b.doc_id >= 400)),
+           |      FROM kb a JOIN okb USING(block_key) JOIN kb b USING(block_key)
+           |      WHERE a.doc_id < b.doc_id
+           |      UNION
+           |      SELECT DISTINCT least(a.doc_id, c.doc_id) AS doc_id_a,
+           |       greatest(a.doc_id, c.doc_id) AS doc_id_b
+           |      FROM kb a JOIN okc USING(block_key) JOIN kc c USING(block_key)),
            |sh AS (SELECT doc_id, ${O.shingleHashes60("text")} AS s FROM docs500),
            |pr AS (SELECT doc_id_a, doc_id_b,
            |       len(list_intersect(da.s, db.s)) AS i, len(da.s) AS la, len(db.s) AS lb

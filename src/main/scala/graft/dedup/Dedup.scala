@@ -169,8 +169,7 @@ object Dedup {
     val newNew = graft.pairs.CandidateGenerator
       .candidatePairs(batch.keys, maxBlockSize)
       .select("doc_id_a", "doc_id_b")
-    val okOld = corpus.keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBlockSize).select("block_key")
+    val okOld = graft.pairs.CandidateGenerator.underCapBlocks(corpus.keys, maxBlockSize)
     val newOld = batch.keys.select(col("block_key"), col("doc_id").as("__new_id"))
       .join(corpus.keys.join(okOld, Seq("block_key"))
         .select(col("block_key"), col("doc_id").as("__old_id")), Seq("block_key"))
@@ -251,8 +250,7 @@ object Dedup {
     */
   private def fusedHammingPairs(keys: DataFrame, maxHamming: Int,
                                 maxBlockSize: Int): DataFrame = {
-    val ok = keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBlockSize).select("block_key")
+    val ok = graft.pairs.CandidateGenerator.underCapBlocks(keys, maxBlockSize)
     val l = keys.join(ok, Seq("block_key"))
       .select(col("block_key"), col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
     val r = keys.join(ok, Seq("block_key"))
@@ -313,8 +311,7 @@ object Dedup {
   def incrementFromSimhashKeys(batchKeys: DataFrame, corpusKeys: DataFrame,
                                maxHamming: Int, maxBlockSize: Int): SimhashIncrement = {
     val newNew = fusedHammingPairs(batchKeys, maxHamming, maxBlockSize)
-    val okOld = corpusKeys.groupBy("block_key").agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBlockSize).select("block_key")
+    val okOld = graft.pairs.CandidateGenerator.underCapBlocks(corpusKeys, maxBlockSize)
     val newOld = batchKeys
       .select(col("block_key"), col("doc_id").as("__nid"), col("simhash").as("__nsh"))
       .join(corpusKeys.join(okOld, Seq("block_key"))

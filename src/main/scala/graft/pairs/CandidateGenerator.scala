@@ -39,6 +39,16 @@ object CandidateGenerator {
       saltedKeys: Long = 0L,
       saltedKeyRows: Long = 0L)
 
+  /** Block keys whose row count is within `maxBlockSize` — the shared
+    * quadratic-blowup guard (semi-joining a key table against this frame
+    * drops oversized blocks BEFORE any pair generation). One definition
+    * so the cap semantics — per-side row counts, whole-block drop —
+    * cannot drift between the batch and incremental near-dup paths.
+    */
+  def underCapBlocks(keys: DataFrame, maxBlockSize: Int): DataFrame =
+    keys.groupBy("block_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlockSize).select("block_key")
+
   /** Distinct candidate pairs (doc_id_a < doc_id_b) from a (block_key,
     * doc_id) table.
     *

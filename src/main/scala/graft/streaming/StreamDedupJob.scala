@@ -10,9 +10,9 @@ import graft.util.Args
   * pair set of an UNBOUNDED arriving document table. Each micro-batch
   * runs [[Dedup.incrementFromState]] — the increment proven exact vs a
   * full-batch recompute by q70 and DedupIncrementSpec — against durable
-  * versioned state, so a crawl batch pays O(batch) + one key join
-  * against the persisted corpus key table; the corpus TEXT is read once,
-  * on the batch that ingested it, never again.
+  * append-delta state, so a crawl batch pays O(batch) WRITE I/O (its own
+  * delta) plus one key join against the persisted corpus key table; the
+  * corpus TEXT is read once, on the batch that ingested it, never again.
   *
   * {{{
   * spark-submit --class graft.streaming.StreamDedupJob graft.jar \
@@ -20,14 +20,19 @@ import graft.util.Args
   *   --checkpoint s3://bucket/dedup-ckpt [--threshold 0.7]
   * }}}
   *
-  * Each state version holds `keys` (LSH band keys), `shingles` (60-bit
-  * shingle-hash sets) — the [[Dedup.NearDupState]] the NEXT batch joins
-  * against — and the cumulative `pairs` table. Pairs are cumulative for
-  * the same reason the resolve job's rejects are: versions get pruned,
-  * so a per-version increment would be lost with its version. By the
-  * chained-increments property (DedupIncrementSpec), the cumulative
-  * pairs table always equals the full-batch [[Dedup.minhashNearDups]]
-  * over everything ingested so far.
+  * State layout ([[VersionedState]] delta contract): each batch commits
+  * `d=<batchId>/{keys,shingles,pairs}` holding ONLY that batch's band
+  * keys, 60-bit shingle-hash sets, and the increment's new pairs. The
+  * corpus view is the union of the latest base + committed deltas above
+  * it; `--compact-every K` folds them into a new `base=` every K deltas
+  * (amortized O(corpus/K) write cost per batch, and it bounds the
+  * small-file count the read side unions). A v=-snapshot layout here
+  * would rewrite the ENTIRE corpus state every trigger — per-batch cost
+  * growing linearly with corpus size; append-delta is what makes the
+  * documented O(batch) claim true of the I/O, not just the join.
+  * By the chained-increments property (DedupIncrementSpec), the union of
+  * all delta `pairs` tables ([[pairsSoFar]]) always equals the
+  * full-batch [[Dedup.minhashNearDups]] over everything ingested so far.
   *
   * `--algo simhash` swaps the increment body for
   * [[Dedup.incrementFromSimhashKeys]]: state is just the fingerprint
@@ -37,21 +42,28 @@ import graft.util.Args
   * maintained pair set.
   *
   * Durability/idempotence/lineage are [[VersionedState]]'s contract:
-  * `_COMMITTED`-marked snapshots, replayed batchIds skipped
-  * (exactly-once state on at-least-once foreachBatch), keep-2 pruning,
-  * and the fail-fast checkpoint/state lineage guard.
+  * `_COMMITTED`-marked units, replayed batchIds skipped (exactly-once
+  * state on at-least-once foreachBatch), crash-safe compaction GC, and
+  * the fail-fast checkpoint/state lineage guard.
   *
   * Ingest contract (per [[Dedup.minhashNearDupsIncrement]]): doc ids are
-  * globally unique across batches. Docs with null/empty text carry no
-  * band key and no shingle set — they can never pair and are not added
-  * to the state (same semantics as the batch operator).
+  * globally unique across batches — a re-delivered id would fan the
+  * verify join through two shingle rows and silently corrupt the
+  * maintained pair set. `--on-duplicate` ENFORCES it per batch with one
+  * semi-join against the corpus key table (same order of work as the
+  * increment join itself): `fail` (default) aborts the batch, `drop`
+  * keeps the FIRST ingested version (re-delivered ids are skipped, count
+  * logged), `allow` skips the check for inputs with an upstream
+  * uniqueness guarantee. Docs with null/empty text carry no band key and
+  * no shingle set — they can never pair and are not added to the state
+  * (same semantics as the batch operator).
   */
 object StreamDedupJob {
 
   private val Usage =
     """graft.streaming.StreamDedupJob
       |  --input DIR               landing dir of document parquet files
-      |  --state DIR               durable state root (versioned snapshots)
+      |  --state DIR               durable state root (append-delta layout)
       |  --checkpoint DIR          Structured Streaming checkpoint
       |  [--algo minhash|simhash]  default minhash
       |  [--id-col NAME]           default doc_id
@@ -59,6 +71,9 @@ object StreamDedupJob {
       |  [--threshold T]           minhash verify Jaccard threshold, default 0.7
       |  [--max-hamming N]         simhash hamming bound, default 3
       |  [--max-block-size N]      default 10000
+      |  [--on-duplicate fail|drop|allow]  re-delivered doc_id policy, default fail
+      |  [--compact-every N]       fold deltas into a base every N batches,
+      |                            default 64 (0 = never)
       |  [--trigger "30 seconds"|availableNow]   default availableNow
       |  [--max-files-per-trigger N]
       |""".stripMargin
@@ -66,97 +81,156 @@ object StreamDedupJob {
   private[streaming] def parseArgs(args: Array[String]): Map[String, String] = {
     val opts = Args.parse(args,
       known = Set("input", "state", "checkpoint", "algo", "id-col", "text-col",
-        "threshold", "max-hamming", "max-block-size", "trigger",
-        "max-files-per-trigger"),
+        "threshold", "max-hamming", "max-block-size", "on-duplicate",
+        "compact-every", "trigger", "max-files-per-trigger"),
       required = Set("input", "state", "checkpoint"),
       usage = Usage)
     opts.get("algo").foreach(a => require(a == "minhash" || a == "simhash",
       s"--algo must be minhash or simhash, got $a\n$Usage"))
+    opts.get("on-duplicate").foreach(d =>
+      require(Set("fail", "drop", "allow")(d),
+        s"--on-duplicate must be fail, drop or allow, got $d\n$Usage"))
     opts
   }
 
+  /** One state table unioned across the committed view (latest base +
+    * deltas above it), or None when nothing is committed yet.
+    */
+  def readStateTable(spark: SparkSession, stateRoot: String,
+                     table: String): Option[DataFrame] = {
+    val dirs = VersionedState.liveUnitDirs(spark, stateRoot)
+      .map(d => s"$d/$table")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** The maintained near-dup pair set over everything ingested so far —
+    * equals the full-batch recompute (chained-increments property).
+    */
+  def pairsSoFar(spark: SparkSession, stateRoot: String): Option[DataFrame] =
+    readStateTable(spark, stateRoot, "pairs")
+
   /** A state root written by one algo must not be resumed with the
     * other (the key/pair schemas differ; a silent mix would corrupt the
-    * maintained pair set). Minhash versions carry a `shingles` table,
+    * maintained pair set). Minhash units carry a `shingles` table,
     * simhash ones don't — that structural difference IS the marker.
     */
   private def algoGuard(spark: SparkSession, stateRoot: String,
-                        committed: Long, algo: String): Unit = {
-    if (committed < 0) return
-    val hasShingles = VersionedState.fsOf(spark, stateRoot)
-      .exists(new org.apache.hadoop.fs.Path(s"$stateRoot/v=$committed/shingles"))
-    val stateAlgo = if (hasShingles) "minhash" else "simhash"
-    if (stateAlgo != algo)
-      throw new IllegalStateException(
-        s"state root $stateRoot was written by --algo $stateAlgo; refusing to " +
-          s"resume it with --algo $algo — start a new state root")
+                        algo: String): Unit = {
+    VersionedState.liveUnitDirs(spark, stateRoot).lastOption.foreach { dir =>
+      val hasShingles = VersionedState.fsOf(spark, stateRoot)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/shingles"))
+      val stateAlgo = if (hasShingles) "minhash" else "simhash"
+      if (stateAlgo != algo)
+        throw new IllegalStateException(
+          s"state root $stateRoot was written by --algo $stateAlgo; refusing to " +
+            s"resume it with --algo $algo — start a new state root")
+    }
   }
 
-  /** One micro-batch: derive the batch's keys (+ shingle sets for
-    * minhash), run the increment against the committed state, commit the
-    * new version with the appended state and the cumulative pairs.
-    * Idempotent on `batchId`.
+  /** Enforce the globally-unique-doc_id ingest contract: one semi-join
+    * of the batch's ids against the corpus key table. Returns the ids to
+    * EXCLUDE from the batch (empty unless mode == drop).
+    */
+  private def duplicateIdGuard(batchKeys: DataFrame,
+                               corpusKeys: Option[DataFrame],
+                               mode: String, batchId: Long): Option[DataFrame] = {
+    if (mode == "allow" || corpusKeys.isEmpty) return None
+    // corpus side stays map-side: semi-join against the BROADCAST batch
+    // ids (batch-sized by definition) — the corpus key table is scanned
+    // once with no shuffle, the same shape as the increment join itself
+    val dupIds = corpusKeys.get.select("doc_id")
+      .join(org.apache.spark.sql.functions.broadcast(
+        batchKeys.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .distinct()
+    val n = dupIds.count()
+    if (n == 0) None
+    else if (mode == "fail")
+      throw new IllegalStateException(
+        s"batch $batchId re-delivers $n doc_id(s) already in the corpus state; " +
+          "ids must be globally unique (--on-duplicate drop keeps the first " +
+          "ingested version, --on-duplicate allow skips this check)")
+    else { // drop: first-write-wins
+      System.err.println(
+        s"[stream-dedup] batch $batchId: dropping $n re-delivered doc_id(s) (first-write-wins)")
+      Some(dupIds)
+    }
+  }
+
+  /** The shared per-batch commit skeleton: replay skip, algo guard,
+    * duplicate-id enforcement, increment, delta write (batch-sized
+    * tables ONLY), commit marker, compaction. The per-algo difference is
+    * reduced to data: which tables a delta carries and how the increment
+    * pairs are computed.
     */
   def attachBatch(spark: SparkSession, stateRoot: String,
                   batch: DataFrame, batchId: Long,
                   idCol: String = "doc_id", textCol: String = "text",
                   threshold: Double = 0.7, maxBlockSize: Int = 10000,
-                  algo: String = "minhash", maxHamming: Int = 3): Unit = {
-    val committed = VersionedState.latestVersion(spark, stateRoot)
-    if (committed >= batchId) return // replayed batch — state already has it
-    algoGuard(spark, stateRoot, committed, algo)
-    val out = s"$stateRoot/v=$batchId"
+                  algo: String = "minhash", maxHamming: Int = 3,
+                  onDuplicate: String = "fail", compactEvery: Int = 64): Unit = {
+    if (VersionedState.highWater(spark, stateRoot) >= batchId)
+      return // replayed batch — state already has it
+    algoGuard(spark, stateRoot, algo)
 
-    // persist (not localCheckpoint): the batch tables are read 2-3 times
+    // persist (not localCheckpoint): the batch tables are read 2-4 times
     // within this micro-batch and must release their storage at the end
     // — a long-running stream would otherwise accumulate pinned blocks
-    if (algo == "simhash") {
-      val keys = Dedup.simhashState(batch, idCol, textCol).persist()
-      try {
-        val corpusKeys =
-          if (committed < 0) keys.limit(0)
-          else spark.read.parquet(s"$stateRoot/v=$committed/keys")
-        val inc = Dedup.incrementFromSimhashKeys(keys, corpusKeys,
-          maxHamming, maxBlockSize)
-        corpusKeys.unionByName(keys)
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
-        writeCumulativePairs(spark, stateRoot, committed, inc.pairs, out)
-        VersionedState.commitVersion(spark, stateRoot, batchId)
-      } finally keys.unpersist(false)
-    } else {
-      val raw = Dedup.minhashState(batch, idCol, textCol)
-      val st = Dedup.NearDupState(raw.keys.persist(), raw.shingles.persist())
-      try {
-        val corpus =
-          if (committed < 0)
-            Dedup.NearDupState(st.keys.limit(0), st.shingles.limit(0))
-          else Dedup.NearDupState(
-            spark.read.parquet(s"$stateRoot/v=$committed/keys"),
-            spark.read.parquet(s"$stateRoot/v=$committed/shingles"))
+    val (tables, pairs) =
+      if (algo == "simhash") {
+        val keys0 = Dedup.simhashState(batch, idCol, textCol)
+        val corpusKeys = readStateTable(spark, stateRoot, "keys")
+        val keys = duplicateIdGuard(keys0, corpusKeys, onDuplicate, batchId)
+          .map(dup => keys0.join(dup, Seq("doc_id"), "left_anti"))
+          .getOrElse(keys0).persist()
+        val inc = Dedup.incrementFromSimhashKeys(keys,
+          corpusKeys.getOrElse(keys.limit(0)), maxHamming, maxBlockSize)
+        (Seq("keys" -> keys), inc.pairs)
+      } else {
+        val raw = Dedup.minhashState(batch, idCol, textCol)
+        val corpus = Dedup.NearDupState(
+          readStateTable(spark, stateRoot, "keys").getOrElse(raw.keys.limit(0)),
+          readStateTable(spark, stateRoot, "shingles").getOrElse(raw.shingles.limit(0)))
+        val hasCorpus = VersionedState.liveUnitDirs(spark, stateRoot).nonEmpty
+        val drop = duplicateIdGuard(raw.keys,
+          if (hasCorpus) Some(corpus.keys) else None, onDuplicate, batchId)
+        def minus(df: DataFrame) =
+          drop.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+        val st = Dedup.NearDupState(
+          minus(raw.keys).persist(), minus(raw.shingles).persist())
         val inc = Dedup.incrementFromState(st, corpus, threshold, maxBlockSize)
-        corpus.keys.unionByName(st.keys)
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
-        corpus.shingles.unionByName(st.shingles)
-          .write.mode(SaveMode.Overwrite).parquet(s"$out/shingles")
-        writeCumulativePairs(spark, stateRoot, committed, inc.pairs, out)
-        VersionedState.commitVersion(spark, stateRoot, batchId)
-      } finally {
-        st.keys.unpersist(false)
-        st.shingles.unpersist(false)
+        (Seq("keys" -> st.keys, "shingles" -> st.shingles), inc.pairs)
       }
-    }
+    try {
+      val out = s"$stateRoot/d=$batchId"
+      tables.foreach { case (name, df) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
+      }
+      pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs")
+      VersionedState.commitDelta(spark, stateRoot, batchId)
+      maybeCompact(spark, stateRoot, batchId,
+        tables.map(_._1) :+ "pairs", compactEvery)
+    } finally tables.foreach(_._2.unpersist(false))
   }
 
-  // pairs are cumulative like the resolve job's rejects: versions get
-  // pruned, so a per-version increment would be lost with its version
-  private def writeCumulativePairs(spark: SparkSession, stateRoot: String,
-                                   committed: Long, incPairs: DataFrame,
-                                   out: String): Unit = {
-    val allPairs =
-      if (committed < 0) incPairs
-      else spark.read.parquet(s"$stateRoot/v=$committed/pairs")
-        .unionByName(incPairs)
-    allPairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs")
+  /** Fold the committed view into `base=<upto>` when the live delta
+    * count reaches the threshold: one O(corpus) rewrite every
+    * `compactEvery` batches (amortized O(corpus/K) per batch), which
+    * also caps how many files [[readStateTable]] unions. Crash-safe:
+    * the base is invisible until its marker lands, and covered deltas
+    * are ignored by readers the moment it does (GC is cleanup, not
+    * correctness — [[VersionedState.commitBase]]).
+    */
+  private def maybeCompact(spark: SparkSession, stateRoot: String, upto: Long,
+                           tables: Seq[String], compactEvery: Int): Unit = {
+    if (compactEvery <= 0) return
+    val base = VersionedState.latestBase(spark, stateRoot)
+    val live = VersionedState.committedDeltas(spark, stateRoot).count(_ > base)
+    if (live < compactEvery) return
+    tables.foreach { t =>
+      readStateTable(spark, stateRoot, t).get
+        .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/base=$upto/$t")
+    }
+    VersionedState.commitBase(spark, stateRoot, upto)
   }
 
   /** Wire the file-source stream; returns the started query. */
@@ -171,6 +245,8 @@ object StreamDedupJob {
     val maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(10000)
     val algo = opts.getOrElse("algo", "minhash")
     val maxHamming = opts.get("max-hamming").map(_.toInt).getOrElse(3)
+    val onDuplicate = opts.getOrElse("on-duplicate", "fail")
+    val compactEvery = opts.get("compact-every").map(_.toInt).getOrElse(64)
     // file sources need a schema before the stream starts: read it from
     // the existing files (the landing dir must hold at least one file)
     val schema = spark.read.parquet(input).schema
@@ -182,7 +258,7 @@ object StreamDedupJob {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         attachBatch(spark, stateRoot, batch, batchId, idCol, textCol,
-          threshold, maxBlockSize, algo, maxHamming)
+          threshold, maxBlockSize, algo, maxHamming, onDuplicate, compactEvery)
       }
     opts.get("trigger") match {
       case None | Some("availableNow") => writer.trigger(Trigger.AvailableNow()).start()

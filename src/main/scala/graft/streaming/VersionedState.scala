@@ -48,6 +48,85 @@ private[streaming] object VersionedState {
       .foreach(p => fs.delete(p, true))
   }
 
+  // ------------------------------------------------------------------
+  // Append-delta layout (root/d=<batchId> + root/base=<uptoId>) — for
+  // state that GROWS by batch (the dedup corpus): each micro-batch
+  // writes only ITS OWN rows as a delta, so per-trigger write I/O is
+  // O(batch), not O(corpus) (the v= snapshot layout above rewrites the
+  // full state per version — right for state that is globally REVISED
+  // each batch, like cluster assignments, wrong for an append-only
+  // corpus). Readers see: latest committed base (a compaction of every
+  // delta <= its id) plus all committed deltas ABOVE it. That filter is
+  // also the crash-safety rule — a base commit followed by a crash
+  // before delta GC leaves covered deltas on disk, and readers ignore
+  // them by construction.
+  // ------------------------------------------------------------------
+
+  /** Committed delta batchIds, ascending (including any a base already
+    * covers — callers filter with [[latestBase]]).
+    */
+  def committedDeltas(spark: SparkSession, root: String): Seq[Long] =
+    committedUnits(spark, root, "d=")
+
+  /** The latest committed base's covered-up-to id, or -1 if none. */
+  def latestBase(spark: SparkSession, root: String): Long =
+    committedUnits(spark, root, "base=").lastOption.getOrElse(-1L)
+
+  /** Highest batchId the state already contains (base or delta) — the
+    * replay skip boundary, same contract as [[latestVersion]] for the
+    * snapshot layout.
+    */
+  def highWater(spark: SparkSession, root: String): Long =
+    math.max(latestBase(spark, root),
+      committedDeltas(spark, root).lastOption.getOrElse(-1L))
+
+  /** Directories of the current committed view of the state, oldest
+    * first: the latest base (if any) then every committed delta above
+    * it. Empty when nothing is committed.
+    */
+  def liveUnitDirs(spark: SparkSession, root: String): Seq[String] = {
+    val base = latestBase(spark, root)
+    val baseDir = if (base < 0) Nil else Seq(s"$root/base=$base")
+    baseDir ++ committedDeltas(spark, root).filter(_ > base)
+      .map(id => s"$root/d=$id")
+  }
+
+  /** Commit delta `id` (marker only — deltas are the corpus; nothing is
+    * pruned here, compaction GCs them).
+    */
+  def commitDelta(spark: SparkSession, root: String, id: Long): Unit =
+    fsOf(spark, root).create(new Path(s"$root/d=$id/_COMMITTED"), true).close()
+
+  /** Commit a base covering every delta <= `upto`, then GC: older bases
+    * and all d= dirs at-or-below `upto` (committed — now covered — and
+    * uncommitted leftovers from failed attempts). Readers never see a
+    * torn view: until the marker lands they read the old base + deltas;
+    * after it they read the new base, and the GC'd dirs were already
+    * excluded by the `delta > base` filter.
+    */
+  def commitBase(spark: SparkSession, root: String, upto: Long): Unit = {
+    val fs = fsOf(spark, root)
+    fs.create(new Path(s"$root/base=$upto/_COMMITTED"), true).close()
+    fs.listStatus(new Path(root)).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("base=") && n != s"base=$upto") ||
+          (n.startsWith("d=") && n.drop(2).toLong <= upto)
+      }
+      .foreach(p => fs.delete(p, true))
+  }
+
+  private def committedUnits(spark: SparkSession, root: String,
+                             prefix: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        fs.exists(new Path(p, "_COMMITTED")))
+      .map(_.getName.drop(prefix.length).toLong).sorted.toSeq
+  }
+
   /** The state root and the streaming checkpoint form ONE lineage:
     * batchIds only mean anything relative to the checkpoint that issued
     * them. Fail fast on EITHER divergence: a fresh checkpoint over
@@ -59,7 +138,10 @@ private[streaming] object VersionedState {
   def lineageGuard(spark: SparkSession, ckpt: String, stateRoot: String): Unit = {
     val ckptOffsets = new Path(s"$ckpt/offsets")
     val ckptFresh = !fsOf(spark, ckpt).exists(ckptOffsets)
-    val stateEmpty = latestVersion(spark, stateRoot) < 0
+    // covers both layouts: v= snapshots (resolve job) and d=/base=
+    // deltas (dedup job)
+    val stateEmpty = latestVersion(spark, stateRoot) < 0 &&
+      highWater(spark, stateRoot) < 0
     if (ckptFresh && !stateEmpty)
       throw new IllegalStateException(
         s"state root $stateRoot has committed versions but checkpoint $ckpt is fresh; " +

@@ -3,16 +3,16 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 import graft.dedup.Dedup
 
-/** The streaming dedup entry: durable versioned near-dup state,
-  * replayed-batch idempotence, and the maintained-corpus property — the
-  * cumulative pairs table equals the full-batch recompute over
-  * everything ingested.
+/** The streaming dedup entry: durable append-delta near-dup state,
+  * replayed-batch idempotence, per-batch O(batch) write amplification,
+  * compaction, the duplicate-id ingest guard, and the maintained-corpus
+  * property — the union of delta pair tables equals the full-batch
+  * recompute over everything ingested.
   */
 class StreamDedupJobSpec extends AnyFunSuite {
 
@@ -31,14 +31,9 @@ class StreamDedupJobSpec extends AnyFunSuite {
     (i.toLong, toks.updated(i % toks.length, s"tok$i").mkString(" "))
   }.toDF("doc_id", "text")
 
-  private def statePairs(stateRoot: String): Set[(Long, Long)] = {
-    val versions = new java.io.File(stateRoot).listFiles()
-      .filter(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_COMMITTED").exists())
-      .map(_.getName.drop(2).toLong)
-    spark.read.parquet(s"$stateRoot/v=${versions.max}/pairs")
+  private def statePairs(stateRoot: String): Set[(Long, Long)] =
+    StreamDedupJob.pairsSoFar(spark, stateRoot).get
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
-  }
 
   test("two streamed batches: cumulative pairs == full-batch recompute over the union") {
     val in = tmp("sdj-in"); val state = tmp("sdj-state"); val ckpt = tmp("sdj-ckpt")
@@ -52,10 +47,8 @@ class StreamDedupJobSpec extends AnyFunSuite {
 
     // maxFilesPerTrigger=1 must actually split the corpus into multiple
     // batches, or the incremental path never executed
-    val versions = new java.io.File(state).listFiles()
-      .count(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_COMMITTED").exists())
-    assert(versions >= 2, s"expected >=2 committed versions, got $versions")
+    val deltas = VersionedState.committedDeltas(spark, state)
+    assert(deltas.size >= 2, s"expected >=2 committed deltas, got $deltas")
 
     val full = Dedup.minhashNearDups(mkDocs(0 until 40), "doc_id", "text",
       threshold = 0.4)
@@ -65,6 +58,13 @@ class StreamDedupJobSpec extends AnyFunSuite {
     // cross-batch pairs must be present (proves the increment join
     // against the persisted corpus state did the work)
     assert(streamed.exists { case (a, b) => a < 25 && b >= 25 })
+
+    // write amplification: each delta holds ONLY its batch's state rows
+    // — the second delta's key table must not contain batch-0 docs
+    val d1 = spark.read.parquet(s"$state/d=${deltas.last}/keys")
+      .select("doc_id").as[Long].collect().toSet
+    assert(d1.nonEmpty && d1.forall(_ >= 25),
+      s"delta ${deltas.last} must carry only its own batch's keys, got ids ${d1.take(5)}")
   }
 
   test("replayed batchId is a no-op; state survives byte-identical") {
@@ -78,7 +78,76 @@ class StreamDedupJobSpec extends AnyFunSuite {
     StreamDedupJob.attachBatch(spark, state, mkDocs(30 until 35), batchId = 1L,
       threshold = 0.4)
     assert(statePairs(state) == before)
-    assert(VersionedState.latestVersion(spark, state) == 1L)
+    assert(VersionedState.highWater(spark, state) == 1L)
+  }
+
+  test("compaction folds deltas into a base; pairs unchanged; covered deltas GC'd") {
+    val state = tmp("sdj-compact")
+    StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
+      threshold = 0.4, compactEvery = 0)
+    StreamDedupJob.attachBatch(spark, state, mkDocs(10 until 20), batchId = 1L,
+      threshold = 0.4, compactEvery = 0)
+    val before = statePairs(state)
+    // third batch trips compactEvery=3: base=2 covers d=0,1,2
+    StreamDedupJob.attachBatch(spark, state, mkDocs(20 until 30), batchId = 2L,
+      threshold = 0.4, compactEvery = 3)
+    assert(VersionedState.latestBase(spark, state) == 2L)
+    assert(VersionedState.committedDeltas(spark, state).isEmpty,
+      "covered deltas must be GC'd after base commit")
+    assert(statePairs(state).size > before.size, "batch 2's pairs must be present")
+    // the compacted state must keep working as the corpus for the next
+    // increment, full-recompute-exact as ever
+    StreamDedupJob.attachBatch(spark, state, mkDocs(30 until 40), batchId = 3L,
+      threshold = 0.4, compactEvery = 0)
+    val full = Dedup.minhashNearDups(mkDocs(0 until 40), "doc_id", "text",
+      threshold = 0.4)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(statePairs(state) == full)
+  }
+
+  test("crash window: a committed delta a base already covers is ignored by readers") {
+    val state = tmp("sdj-crashwin")
+    StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
+      threshold = 0.4, compactEvery = 1) // compacts immediately: base=0
+    val view = statePairs(state)
+    // simulate a crash between base commit and delta GC: re-create a
+    // committed d=0 with GARBAGE content; readers must not union it
+    val garbage = mkDocs(100 until 105)
+    Dedup.minhashState(garbage, "doc_id", "text").keys
+      .write.parquet(s"$state/d=0/keys")
+    spark.emptyDataset[(Long, Long, Double)]
+      .toDF("doc_id_a", "doc_id_b", "jaccard")
+      .write.parquet(s"$state/d=0/pairs")
+    VersionedState.commitDelta(spark, state, 0L)
+    assert(statePairs(state) == view,
+      "a delta at-or-below the latest base must be invisible")
+    assert(StreamDedupJob.readStateTable(spark, state, "keys").get
+      .where($"doc_id" >= 100).count() == 0)
+  }
+
+  test("duplicate doc_id: fail aborts the batch; drop keeps the first version") {
+    val state = tmp("sdj-dup")
+    StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
+      threshold = 0.4)
+    // batch 1 re-delivers ids 5-9 -> default policy aborts
+    val e = intercept[IllegalStateException] {
+      StreamDedupJob.attachBatch(spark, state, mkDocs(5 until 15), batchId = 1L,
+        threshold = 0.4)
+    }
+    assert(e.getMessage.contains("re-delivers 5 doc_id"))
+    assert(VersionedState.highWater(spark, state) == 0L,
+      "failed batch must not commit")
+    // drop mode: first-write-wins — only the genuinely new ids 10-14 enter
+    StreamDedupJob.attachBatch(spark, state, mkDocs(5 until 15), batchId = 1L,
+      threshold = 0.4, onDuplicate = "drop")
+    val ids = StreamDedupJob.readStateTable(spark, state, "keys").get
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == (0L until 15L).toSet)
+    // state must equal a clean ingest of 0..15 (no doubled shingle rows)
+    val full = Dedup.minhashNearDups(mkDocs(0 until 15), "doc_id", "text",
+      threshold = 0.4)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(statePairs(state) == full)
   }
 
   test("simhash mode: streamed batches == full-batch simhash recompute; algo mismatch refuses") {
