@@ -39,6 +39,15 @@ import graft.sim.SimilarityWeights
   */
 object IncrementalResolve {
 
+  /** [[attachWithDelta]]'s two views of one increment: `assignments` is
+    * the full (doc_id, cluster_id) table (existing ∪ new), `changed` is
+    * ONLY the rows that differ from `existing` — the new docs plus every
+    * member of a relabeled (merged) cluster. `changed` is what a
+    * merge-on-read state store writes per batch: O(increment + touched
+    * docs), not O(corpus).
+    */
+  final case class AttachResult(assignments: DataFrame, changed: DataFrame)
+
   /** Attach new docs to an existing clustering.
     *
     * @param existing    (doc_id, cluster_id) current assignments, labels =
@@ -52,7 +61,12 @@ object IncrementalResolve {
     *         global min
     */
   def attach(spark: SparkSession, existing: DataFrame, newIds: DataFrame,
-             newNewEdges: DataFrame, newOldEdges: DataFrame): DataFrame = {
+             newNewEdges: DataFrame, newOldEdges: DataFrame): DataFrame =
+    attachWithDelta(spark, existing, newIds, newNewEdges, newOldEdges).assignments
+
+  /** [[attach]] plus the changed-rows delta (see [[AttachResult]]). */
+  def attachWithDelta(spark: SparkSession, existing: DataFrame, newIds: DataFrame,
+                      newNewEdges: DataFrame, newOldEdges: DataFrame): AttachResult = {
     // contract: route new->old edges to the old doc's cluster label
     val contracted = newOldEdges
       .join(existing.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
@@ -64,12 +78,23 @@ object IncrementalResolve {
     // new docs take their component label directly; existing docs remap
     // through their old label's new component label (identity when the
     // cluster was untouched)
-    val newAssign = cc.join(newIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    val newAssignRows = cc.join(newIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "cluster_id")
     val oldRemap = existing
       .join(cc.select(col("doc_id").as("cluster_id"), col("cluster_id").as("__new")),
         Seq("cluster_id"))
       .select(col("doc_id"), col("__new").as("cluster_id"))
-    oldRemap.unionByName(newAssign.select("doc_id", "cluster_id"))
+    // the relabel map: old labels whose component took a new (smaller)
+    // label. cc rows for NEW docs can land here too (a new doc whose
+    // label isn't itself), but no existing row joins them — ids are
+    // globally unique, so a new doc id is never an existing cluster label
+    val relabeled = cc.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("__new"))
+    val changedOld = existing.join(relabeled, Seq("cluster_id"))
+      .select(col("doc_id"), col("__new").as("cluster_id"))
+    AttachResult(
+      oldRemap.unionByName(newAssignRows),
+      changedOld.unionByName(newAssignRows))
   }
 
   /** Whole increment from normalized names: block the new batch against
@@ -91,7 +116,23 @@ object IncrementalResolve {
                    newKeysOpt: Option[DataFrame] = None,
                    weights: SimilarityWeights = SimilarityWeights.default,
                    threshold: Double = Thresholds().autoMerge,
-                   maxBlockSize: Int = 1000): DataFrame = {
+                   maxBlockSize: Int = 1000): DataFrame =
+    resolveNamesWithDelta(spark, existing, existingNames, newNames,
+      existingKeys, newKeysOpt, weights, threshold, maxBlockSize).assignments
+
+  /** [[resolveNames]] plus the changed-rows delta (see [[AttachResult]]) —
+    * the micro-batch body for a merge-on-read state store, which writes
+    * only `changed` per batch.
+    */
+  def resolveNamesWithDelta(spark: SparkSession,
+                            existing: DataFrame,
+                            existingNames: DataFrame,
+                            newNames: DataFrame,
+                            existingKeys: Option[DataFrame] = None,
+                            newKeysOpt: Option[DataFrame] = None,
+                            weights: SimilarityWeights = SimilarityWeights.default,
+                            threshold: Double = Thresholds().autoMerge,
+                            maxBlockSize: Int = 1000): AttachResult = {
     Er.register(spark)
     val oldKeys = existingKeys.getOrElse(
       BlockingKeys.explodeKeys(existingNames, "doc_id",
@@ -115,12 +156,12 @@ object IncrementalResolve {
     }
     val newNew = scoreEdges(CandidateGenerator.candidatePairs(newKeys, maxBlockSize))
     // old blocks beyond the cap are dropped exactly as in batch blocking
-    val okOld = oldKeys.groupBy("block_key").agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBlockSize).select("block_key")
+    val okOld = CandidateGenerator.underCapBlocks(oldKeys, maxBlockSize)
     val newOldPairs = newKeys.select(col("block_key"), col("doc_id").as("doc_id_a"))
       .join(oldKeys.join(okOld, Seq("block_key"))
         .select(col("block_key"), col("doc_id").as("doc_id_b")), Seq("block_key"))
       .select("doc_id_a", "doc_id_b").distinct()
-    attach(spark, existing, newNames.select("doc_id"), newNew, scoreEdges(newOldPairs))
+    attachWithDelta(spark, existing, newNames.select("doc_id"), newNew,
+      scoreEdges(newOldPairs))
   }
 }

@@ -97,11 +97,8 @@ object StreamDedupJob {
     * deltas above it), or None when nothing is committed yet.
     */
   def readStateTable(spark: SparkSession, stateRoot: String,
-                     table: String): Option[DataFrame] = {
-    val dirs = VersionedState.liveUnitDirs(spark, stateRoot)
-      .map(d => s"$d/$table")
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+                     table: String): Option[DataFrame] =
+    VersionedState.readTable(spark, stateRoot, table)
 
   /** The maintained near-dup pair set over everything ingested so far —
     * equals the full-batch recompute (chained-increments property).

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Durable versioned-snapshot state shared by the streaming jobs
   * ([[StreamResolveJob]], [[StreamDedupJob]]): state versions live at
@@ -80,15 +80,33 @@ private[streaming] object VersionedState {
     math.max(latestBase(spark, root),
       committedDeltas(spark, root).lastOption.getOrElse(-1L))
 
-  /** Directories of the current committed view of the state, oldest
-    * first: the latest base (if any) then every committed delta above
-    * it. Empty when nothing is committed.
+  /** (unitId, directory) of the current committed view of the state,
+    * oldest first: the latest base (if any, id = its covered-up-to) then
+    * every committed delta above it. Empty when nothing is committed.
+    * The id gives merge-on-read readers their recency order.
     */
-  def liveUnitDirs(spark: SparkSession, root: String): Seq[String] = {
+  def liveUnits(spark: SparkSession, root: String): Seq[(Long, String)] = {
     val base = latestBase(spark, root)
-    val baseDir = if (base < 0) Nil else Seq(s"$root/base=$base")
-    baseDir ++ committedDeltas(spark, root).filter(_ > base)
-      .map(id => s"$root/d=$id")
+    val baseUnit = if (base < 0) Nil else Seq(base -> s"$root/base=$base")
+    baseUnit ++ committedDeltas(spark, root).filter(_ > base)
+      .map(id => id -> s"$root/d=$id")
+  }
+
+  /** Directories of the current committed view, oldest first. */
+  def liveUnitDirs(spark: SparkSession, root: String): Seq[String] =
+    liveUnits(spark, root).map(_._2)
+
+  /** One state table unioned across the committed view (latest base +
+    * deltas above it), or None when nothing is committed yet — the
+    * reader for APPEND-ONLY tables (keys, names, rejects, pairs). For
+    * tables where later units OVERRIDE earlier rows, merge with
+    * [[liveUnits]]' ids (e.g. StreamResolveJob.currentClusters).
+    */
+  def readTable(spark: SparkSession, root: String,
+                table: String): Option[DataFrame] = {
+    val dirs = liveUnitDirs(spark, root).map(d => s"$d/$table")
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*))
   }
 
   /** Commit delta `id` (marker only — deltas are the corpus; nothing is

@@ -12,9 +12,16 @@ import graft.gen.DocGen
 import graft.norm.Normalizer
 import graft.pipeline.IncrementalResolve
 
-/** The streaming production entry: durable versioned state, replayed-batch
-  * idempotence, and multi-batch equivalence with a single-shot increment
-  * over the same corpus.
+/** Schema-bearing span fixture for hand-built docs (file scope so the
+  * encoder needs no outer reference).
+  */
+case class SrjSpan(kind: String, text: String, media_ref: String, offset: Int)
+case class SrjDoc(doc_id: String, spans: Seq[SrjSpan])
+
+/** The streaming production entry: durable append-delta state with
+  * merge-on-read cluster reconstruction, replayed-batch idempotence,
+  * O(changed) delta contents, compaction, legacy-snapshot migration, and
+  * multi-batch equivalence with a single-shot increment over the corpus.
   */
 class StreamResolveJobSpec extends AnyFunSuite {
 
@@ -30,14 +37,17 @@ class StreamResolveJobSpec extends AnyFunSuite {
       partitions = 2)
       .select(concat(lit(s"s$seed-"), col("doc_id")).as("doc_id"), col("spans"))
 
-  private def stateClusters(stateRoot: String): Array[(String, String)] = {
-    val versions = new java.io.File(stateRoot).listFiles()
-      .filter(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_COMMITTED").exists())
-      .map(_.getName.drop(2).toLong)
-    spark.read.parquet(s"$stateRoot/v=${versions.max}/clusters")
-      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+  private def nameDoc(id: String, name: String): SrjDoc =
+    SrjDoc(id, Seq(SrjSpan("text", name, null, 0)))
+
+  private def docsDF(docs: SrjDoc*): DataFrame = {
+    import spark.implicits._
+    docs.toDF()
   }
+
+  private def stateClusters(stateRoot: String): Array[(String, String)] =
+    StreamResolveJob.currentClusters(spark, stateRoot).get
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
 
   test("two streamed batches == one-shot increment over the union (exact state)") {
     val in = tmp("sjob-in")
@@ -54,13 +64,10 @@ class StreamResolveJobSpec extends AnyFunSuite {
     q.awaitTermination()
 
     // maxFilesPerTrigger=1 must actually split the corpus into multiple
-    // batches: the prune keeps the last TWO committed versions, so seeing
-    // fewer would mean the whole corpus ran as one batch and the
-    // incremental path this test exists to cover never executed
-    val versions = new java.io.File(state).listFiles()
-      .filter(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_COMMITTED").exists()).map(_.getName)
-    assert(versions.length == 2, s"expected 2 committed versions, got ${versions.mkString(",")}")
+    // batches, or the incremental path this test exists to cover never
+    // executed
+    val deltas = VersionedState.committedDeltas(spark, state)
+    assert(deltas.size == 2, s"expected 2 committed deltas, got $deltas")
 
     // expected: the SAME increment body applied to the whole corpus in one
     // shot (empty existing state) — multi-batch maintenance must land on
@@ -85,21 +92,64 @@ class StreamResolveJobSpec extends AnyFunSuite {
       "input" -> in, "state" -> tmp("sjob-state-lost"), "checkpoint" -> ckpt)))
   }
 
-  test("state without a keys table (pre-keys engine version) migrates transparently") {
-    val state = tmp("sjob-state5")
-    StreamResolveJob.attachBatch(spark, state, corpus(15, seed = 31L), batchId = 0L)
-    // simulate old-version state: no persisted keys
-    val keysDir = new java.io.File(state, "v=0/keys")
-    assert(keysDir.exists())
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(keysDir)
-    val before = stateClusters(state)
+  test("delta holds ONLY changed rows: new docs + members of relabeled clusters") {
+    val state = tmp("sjob-mor")
+    // batch 0: two "acme corporation" docs cluster under min id b0-a;
+    // b0-u is an untouched singleton
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("b0-a", "acme corporation"),
+      nameDoc("b0-b", "acme corporation"),
+      nameDoc("b0-u", "zebra xylophone consultants")), batchId = 0L)
+    // batch 1: a0-z matches acme and its id sorts BELOW b0-a, so the old
+    // cluster is relabeled to a0-z — its members must ride the delta
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("a0-z", "acme corporation")), batchId = 1L)
+
+    val d1 = spark.read.parquet(s"$state/d=1/clusters")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d1 == Set(("a0-z", "a0-z"), ("b0-a", "a0-z"), ("b0-b", "a0-z")),
+      s"delta must carry the new doc + the relabeled members, nothing else; got $d1")
+
+    val now = stateClusters(state).toSet
+    assert(now == Set(("a0-z", "a0-z"), ("b0-a", "a0-z"), ("b0-b", "a0-z"),
+      ("b0-u", "b0-u")))
+
+    // batch 2 trips compactEvery=3: the merged view folds into base=2 and
+    // reads identically afterwards
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("c0-n", "northwind traders")), batchId = 2L, compactEvery = 3)
+    assert(VersionedState.latestBase(spark, state) == 2L)
+    assert(VersionedState.committedDeltas(spark, state).isEmpty)
+    assert(stateClusters(state).toSet == now + (("c0-n", "c0-n")))
+  }
+
+  test("legacy v= snapshot state (even without keys) migrates to base= on first contact") {
+    val state = tmp("sjob-legacy")
+    // hand-build a legacy full-snapshot version: clusters + names only
+    // (pre-keys, pre-rejects engine), committed the legacy way
+    Er.register(spark)
+    val legacyDocs = corpus(15, seed = 31L)
+    val names = legacyDocs
+      .withColumn("name", Er.docName(col("spans")))
+      .where(Er.rejectReason(col("name")).isNull)
+      .withColumn("normalized", Normalizer.normalizeColumn(col("name")))
+      .where(col("normalized") =!= "").select("doc_id", "normalized")
+    val empty = legacyDocs.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+    IncrementalResolve.resolveNames(spark, empty, names.limit(0), names)
+      .write.parquet(s"$state/v=0/clusters")
+    names.write.parquet(s"$state/v=0/names")
+    VersionedState.fsOf(spark, state)
+      .create(new org.apache.hadoop.fs.Path(s"$state/v=0/_COMMITTED"), true).close()
+    val legacyCount = spark.read.parquet(s"$state/v=0/clusters").count()
+
     StreamResolveJob.attachBatch(spark, state, corpus(15, seed = 32L), batchId = 1L)
-    assert(stateClusters(state).length > before.length)
-    // the new version persists keys again
-    assert(new java.io.File(state, "v=1/keys").exists())
+    // migrated: base=0 carries the snapshot (keys derived from names),
+    // the v= dir is swept, and the increment landed as d=1
+    assert(VersionedState.latestBase(spark, state) == 0L)
+    assert(new java.io.File(state, "base=0/keys").exists())
+    assert(!new java.io.File(state, "v=0").exists())
+    assert(VersionedState.committedDeltas(spark, state) == Seq(1L))
+    assert(stateClusters(state).length > legacyCount)
   }
 
   test("replayed batchId is a no-op; state survives byte-identical") {
@@ -113,12 +163,6 @@ class StreamResolveJobSpec extends AnyFunSuite {
     // a NEW batch advances state
     StreamResolveJob.attachBatch(spark, state, corpus(20, seed = 8L), batchId = 1L)
     assert(stateClusters(state).length > after1.length)
-    // prune keeps at most the last two committed versions
-    StreamResolveJob.attachBatch(spark, state, corpus(10, seed = 9L), batchId = 2L)
-    val committed = new java.io.File(state).listFiles()
-      .filter(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_COMMITTED").exists())
-    assert(committed.length <= 2)
   }
 
   test("strict args + lineage guard: typo'd options fail fast; fresh checkpoint over non-empty state refuses") {
@@ -147,31 +191,31 @@ class StreamResolveJobSpec extends AnyFunSuite {
       .select(lit("s31-nameless").as("doc_id"),
         filter(col("spans"), s => s.getField("kind") =!= "text").as("spans"))
     StreamResolveJob.attachBatch(spark, state, good.unionByName(nameless), batchId = 0L)
-    val rejects = spark.read.parquet(s"$state/v=0/rejects").collect()
+    val rejects = StreamResolveJob.stateTable(spark, state, "rejects").get.collect()
     assert(rejects.map(_.getAs[String]("doc_id")).toSet == Set("s31-nameless"))
     assert(rejects(0).getAs[String]("reject_reason") == "blank")
     assert(!stateClusters(state).exists(_._1 == "s31-nameless"))
-    // rejects are cumulative across versions (old versions get pruned)
+    // rejects accumulate across deltas (each delta carries its own)
     StreamResolveJob.attachBatch(spark, state, corpus(5, seed = 32L), batchId = 1L)
-    assert(spark.read.parquet(s"$state/v=1/rejects").count() == 1)
+    assert(StreamResolveJob.stateTable(spark, state, "rejects").get.count() == 1)
   }
 
-  test("crash mid-write: an uncommitted version dir is invisible and the replay overwrites it") {
+  test("crash mid-write: an uncommitted delta dir is invisible and the replay overwrites it") {
     val state = tmp("sjob-state3")
     val b1 = corpus(20, seed = 11L)
     StreamResolveJob.attachBatch(spark, state, b1, batchId = 0L)
     // simulate a batch-1 crash AFTER partial parquet writes but BEFORE the
-    // _COMMITTED marker: junk data in v=1, no marker
-    val partial = new java.io.File(state, "v=1/clusters")
+    // _COMMITTED marker: junk data in d=1, no marker
+    val partial = new java.io.File(state, "d=1/clusters")
     partial.mkdirs()
     Files.write(partial.toPath.resolve("part-garbage.parquet"), Array[Byte](1, 2, 3))
-    val before = stateClusters(state) // must still read v=0
+    val before = stateClusters(state) // must still read d=0 only
     // the streaming engine replays batch 1; the overwrite must supersede
     // the partial dir and commit
     val b2 = corpus(20, seed = 12L)
     StreamResolveJob.attachBatch(spark, state, b2, batchId = 1L)
     val after = stateClusters(state)
     assert(after.length > before.length)
-    assert(new java.io.File(state, "v=1/_COMMITTED").exists())
+    assert(new java.io.File(state, "d=1/_COMMITTED").exists())
   }
 }
