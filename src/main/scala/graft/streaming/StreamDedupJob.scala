@@ -112,8 +112,8 @@ object StreamDedupJob {
     * simhash ones don't — that structural difference IS the marker.
     */
   private def algoGuard(spark: SparkSession, stateRoot: String,
-                        algo: String): Unit = {
-    VersionedState.liveUnitDirs(spark, stateRoot).lastOption.foreach { dir =>
+                        units: Seq[(Long, String)], algo: String): Unit = {
+    units.lastOption.foreach { case (_, dir) =>
       val hasShingles = VersionedState.fsOf(spark, stateRoot)
         .exists(new org.apache.hadoop.fs.Path(s"$dir/shingles"))
       val stateAlgo = if (hasShingles) "minhash" else "simhash"
@@ -124,40 +124,13 @@ object StreamDedupJob {
     }
   }
 
-  /** Enforce the globally-unique-doc_id ingest contract: one semi-join
-    * of the batch's ids against the corpus key table. Returns the ids to
-    * EXCLUDE from the batch (empty unless mode == drop).
-    */
-  private def duplicateIdGuard(batchKeys: DataFrame,
-                               corpusKeys: Option[DataFrame],
-                               mode: String, batchId: Long): Option[DataFrame] = {
-    if (mode == "allow" || corpusKeys.isEmpty) return None
-    // corpus side stays map-side: semi-join against the BROADCAST batch
-    // ids (batch-sized by definition) — the corpus key table is scanned
-    // once with no shuffle, the same shape as the increment join itself
-    val dupIds = corpusKeys.get.select("doc_id")
-      .join(org.apache.spark.sql.functions.broadcast(
-        batchKeys.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
-      .distinct()
-    val n = dupIds.count()
-    if (n == 0) None
-    else if (mode == "fail")
-      throw new IllegalStateException(
-        s"batch $batchId re-delivers $n doc_id(s) already in the corpus state; " +
-          "ids must be globally unique (--on-duplicate drop keeps the first " +
-          "ingested version, --on-duplicate allow skips this check)")
-    else { // drop: first-write-wins
-      System.err.println(
-        s"[stream-dedup] batch $batchId: dropping $n re-delivered doc_id(s) (first-write-wins)")
-      Some(dupIds)
-    }
-  }
-
   /** The shared per-batch commit skeleton: replay skip, algo guard,
-    * duplicate-id enforcement, increment, delta write (batch-sized
-    * tables ONLY), commit marker, compaction. The per-algo difference is
-    * reduced to data: which tables a delta carries and how the increment
-    * pairs are computed.
+    * duplicate-id enforcement ([[IngestContract]]), increment, delta
+    * write (batch-sized tables ONLY), commit marker, compaction. The
+    * per-algo difference is reduced to data: which tables a delta
+    * carries and how the increment pairs are computed. The committed
+    * view is listed ONCE ([[VersionedState.stateView]]) and threaded
+    * through — O(1) metadata requests per trigger.
     */
   def attachBatch(spark: SparkSession, stateRoot: String,
                   batch: DataFrame, batchId: Long,
@@ -165,9 +138,12 @@ object StreamDedupJob {
                   threshold: Double = 0.7, maxBlockSize: Int = 10000,
                   algo: String = "minhash", maxHamming: Int = 3,
                   onDuplicate: String = "fail", compactEvery: Int = 64): Unit = {
-    if (VersionedState.highWater(spark, stateRoot) >= batchId)
+    val view = VersionedState.stateView(spark, stateRoot)
+    if (view.highWater >= batchId)
       return // replayed batch — state already has it
-    algoGuard(spark, stateRoot, algo)
+    val units = view.units(stateRoot)
+    algoGuard(spark, stateRoot, units, algo)
+    def readT(t: String) = VersionedState.readTableFrom(spark, units, t)
 
     // persist (not localCheckpoint): the batch tables are read 2-4 times
     // within this micro-batch and must release their storage at the end
@@ -175,8 +151,9 @@ object StreamDedupJob {
     val (tables, pairs) =
       if (algo == "simhash") {
         val keys0 = Dedup.simhashState(batch, idCol, textCol)
-        val corpusKeys = readStateTable(spark, stateRoot, "keys")
-        val keys = duplicateIdGuard(keys0, corpusKeys, onDuplicate, batchId)
+        val corpusKeys = readT("keys")
+        val keys = IngestContract
+          .duplicateIdGuard(keys0, corpusKeys, onDuplicate, batchId, "stream-dedup")
           .map(dup => keys0.join(dup, Seq("doc_id"), "left_anti"))
           .getOrElse(keys0).persist()
         val inc = Dedup.incrementFromSimhashKeys(keys,
@@ -184,12 +161,12 @@ object StreamDedupJob {
         (Seq("keys" -> keys), inc.pairs)
       } else {
         val raw = Dedup.minhashState(batch, idCol, textCol)
+        val corpusKeys = readT("keys")
         val corpus = Dedup.NearDupState(
-          readStateTable(spark, stateRoot, "keys").getOrElse(raw.keys.limit(0)),
-          readStateTable(spark, stateRoot, "shingles").getOrElse(raw.shingles.limit(0)))
-        val hasCorpus = VersionedState.liveUnitDirs(spark, stateRoot).nonEmpty
-        val drop = duplicateIdGuard(raw.keys,
-          if (hasCorpus) Some(corpus.keys) else None, onDuplicate, batchId)
+          corpusKeys.getOrElse(raw.keys.limit(0)),
+          readT("shingles").getOrElse(raw.shingles.limit(0)))
+        val drop = IngestContract
+          .duplicateIdGuard(raw.keys, corpusKeys, onDuplicate, batchId, "stream-dedup")
         def minus(df: DataFrame) =
           drop.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
         val st = Dedup.NearDupState(
@@ -204,27 +181,28 @@ object StreamDedupJob {
       }
       pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs")
       VersionedState.commitDelta(spark, stateRoot, batchId)
-      maybeCompact(spark, stateRoot, batchId,
+      maybeCompact(spark, stateRoot, view, batchId,
         tables.map(_._1) :+ "pairs", compactEvery)
     } finally tables.foreach(_._2.unpersist(false))
   }
 
   /** Fold the committed view into `base=<upto>` when the live delta
-    * count reaches the threshold: one O(corpus) rewrite every
-    * `compactEvery` batches (amortized O(corpus/K) per batch), which
-    * also caps how many files [[readStateTable]] unions. Crash-safe:
-    * the base is invisible until its marker lands, and covered deltas
-    * are ignored by readers the moment it does (GC is cleanup, not
-    * correctness — [[VersionedState.commitBase]]).
+    * count (the pre-batch view's plus this batch's) reaches the
+    * threshold: one O(corpus) rewrite every `compactEvery` batches
+    * (amortized O(corpus/K) per batch), which also caps how many files
+    * [[readStateTable]] unions. Crash-safe: the base is invisible until
+    * its marker lands, covered deltas are ignored by readers the moment
+    * it does, and GC keeps the previous base + its uncovered deltas one
+    * extra cycle for concurrent readers ([[VersionedState.commitBase]]).
     */
-  private def maybeCompact(spark: SparkSession, stateRoot: String, upto: Long,
+  private def maybeCompact(spark: SparkSession, stateRoot: String,
+                           preView: VersionedState.StateView, upto: Long,
                            tables: Seq[String], compactEvery: Int): Unit = {
     if (compactEvery <= 0) return
-    val base = VersionedState.latestBase(spark, stateRoot)
-    val live = VersionedState.committedDeltas(spark, stateRoot).count(_ > base)
-    if (live < compactEvery) return
+    if (preView.liveDeltaIds.size + 1 < compactEvery) return
+    val units = preView.units(stateRoot) :+ (upto -> s"$stateRoot/d=$upto")
     tables.foreach { t =>
-      readStateTable(spark, stateRoot, t).get
+      VersionedState.readTableFrom(spark, units, t).get
         .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/base=$upto/$t")
     }
     VersionedState.commitBase(spark, stateRoot, upto)

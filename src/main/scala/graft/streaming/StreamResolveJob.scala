@@ -16,12 +16,14 @@ import graft.util.Args
   * UNBOUNDED arriving span-doc table. Each micro-batch runs the
   * contracted-graph increment ([[IncrementalResolve.resolveNamesWithDelta]]
   * — the body proven hash-exact vs full recompute by q65) against
-  * durable state. Per-batch COMPUTE is O(increment): the state's
+  * durable state. Per-batch COMPUTE is O(increment) — the state's
   * exploded blocking-key table is persisted and read back (the state
   * names are never re-keyed), so the batch pays |new keys| ⋈ |state
   * keys| plus CC over one vertex per TOUCHED cluster. Per-batch state
-  * I/O is O(increment) too — the MERGE-ON-READ delta layout below —
-  * not a full snapshot copy.
+  * WRITE I/O is O(increment) — the merge-on-read delta layout below;
+  * the READ side still scans the corpus-sized tables (the increment
+  * join and the merge-on-read reconstruction below are each one pass
+  * over them), as any layout's must.
   *
   * {{{
   * spark-submit --class graft.streaming.StreamResolveJob graft.jar \
@@ -36,24 +38,35 @@ import graft.util.Args
   * cluster the increment relabeled (merged clusters take the global-min
   * label, so only the non-surviving side's members change). The current
   * assignment table is reconstructed merge-on-read: union the live
-  * units, latest writer wins per doc_id ([[currentClusters]]) — exactly
-  * the read path of a merge-on-read table format (Iceberg/Delta
-  * position-upsert), built on plain parquet + commit markers.
-  * `--compact-every K` folds the view into a `base=` snapshot
-  * (amortized O(corpus/K) write per batch), which also bounds the
-  * number of units the merge reads. Crash-safe like the dedup job: a
-  * base is invisible until its marker lands, covered deltas are ignored
-  * by rule, GC is cleanup.
+  * units, latest writer wins per doc_id ([[currentClusters]] — one
+  * groupBy over the corpus-sized union, the read-side cost the
+  * O(increment) writes trade for) — exactly the read path of a
+  * merge-on-read table format (Iceberg/Delta position-upsert), built on
+  * plain parquet + commit markers. `--compact-every K` folds the view
+  * into a `base=` snapshot (amortized O(corpus/K) write per batch),
+  * bounding the unit count and the per-doc row multiplicity the merge
+  * collapses. Compaction GC keeps the previous base + its uncovered
+  * deltas for one cycle (a concurrent reader's listed view stays
+  * readable — [[VersionedState.commitBase]]).
   *
   * A state root written by the pre-delta engine version (`v=<batchId>`
   * full snapshots) migrates on first contact: the latest snapshot is
   * copied once into `base=<version>` (deriving `keys` from the names
   * when the snapshot predates persisted keys) and the v= dirs are
-  * removed; from then on the state is pure delta.
+  * removed; until a batch performs that migration, the readers fall
+  * back to the legacy snapshot, so committed state is never reported
+  * empty. Metadata cost per batch is O(1) listings: the committed view
+  * is captured once ([[VersionedState.stateView]]) and threaded
+  * through the replay check, reads and compaction decision.
   *
-  * Rejected docs (invalid name / normalizes to nothing — the batch
-  * pipeline's N8 gate) land in each delta's `rejects` table with their
-  * batch id, so ingested-vs-clustered doc counts always reconcile.
+  * The globally-unique-doc_id ingest contract is ENFORCED per batch
+  * (`--on-duplicate fail|drop|allow`, one broadcast semi-join against
+  * the corpus names — a re-delivered id would write two same-recency
+  * assignment rows and make the merge-on-read view nondeterministic;
+  * `drop` is first-write-wins). Rejected docs (invalid name /
+  * normalizes to nothing — the batch pipeline's N8 gate) land in each
+  * delta's `rejects` table with their batch id, so
+  * ingested-vs-clustered doc counts always reconcile.
   *
   * Durability/idempotence/lineage are [[VersionedState]]'s contract:
   * `_COMMITTED`-marked units, replayed batchIds skipped (exactly-once
@@ -71,17 +84,24 @@ object StreamResolveJob {
       |  [--weights L,JW,JAC]      default 0.33,0.34,0.33
       |  [--threshold T]           merge threshold, default 0.92
       |  [--max-block-size N]      default 1000
+      |  [--on-duplicate fail|drop|allow]  re-delivered doc_id policy, default fail
       |  [--compact-every N]       fold deltas into a base every N batches,
       |                            default 64 (0 = never)
       |  [--max-files-per-trigger N]
       |""".stripMargin
 
-  private[streaming] def parseArgs(args: Array[String]): Map[String, String] =
-    Args.parse(args,
+  private[streaming] def parseArgs(args: Array[String]): Map[String, String] = {
+    val opts = Args.parse(args,
       known = Set("input", "state", "checkpoint", "trigger", "weights",
-        "threshold", "max-block-size", "compact-every", "max-files-per-trigger"),
+        "threshold", "max-block-size", "on-duplicate", "compact-every",
+        "max-files-per-trigger"),
       required = Set("input", "state", "checkpoint"),
       usage = Usage)
+    opts.get("on-duplicate").foreach(d =>
+      require(Set("fail", "drop", "allow")(d),
+        s"--on-duplicate must be fail, drop or allow, got $d\n$Usage"))
+    opts
+  }
 
   import VersionedState.fsOf
 
@@ -89,40 +109,64 @@ object StreamResolveJob {
     BlockingKeys.explodeKeys(names, "doc_id",
       BlockingKeys.defaultKeys(col("normalized")))
 
-  /** The current (doc_id, cluster_id) assignment table, reconstructed
-    * merge-on-read: union the live units' `clusters` tables, keep each
-    * doc's row from the HIGHEST unit id (a delta only carries changed
-    * rows, so the latest row for a doc is its current assignment). None
-    * when nothing is committed.
+  /** The merge-on-read reconstruction over the given units: union their
+    * `clusters` tables, keep each doc's row from the HIGHEST unit id (a
+    * delta only carries changed rows, so the latest row for a doc is
+    * its current assignment).
     */
-  def currentClusters(spark: SparkSession, stateRoot: String): Option[DataFrame] = {
-    val units = VersionedState.liveUnits(spark, stateRoot)
-    if (units.isEmpty) return None
+  private def mergeClusters(spark: SparkSession,
+                            units: Seq[(Long, String)]): DataFrame = {
     val all = units.map { case (id, dir) =>
       spark.read.parquet(s"$dir/clusters")
         .select(col("doc_id"), col("cluster_id"), lit(id).as("__b"))
     }.reduce(_.unionByName(_))
-    Some(all.groupBy("doc_id")
-      .agg(max_by(col("cluster_id"), col("__b")).as("cluster_id")))
+    all.groupBy("doc_id")
+      .agg(max_by(col("cluster_id"), col("__b")).as("cluster_id"))
+  }
+
+  /** A table from the latest legacy `v=` snapshot — the reader fallback
+    * for a state root the delta layout has not touched yet. None when
+    * there is no legacy state or the snapshot lacks the table.
+    */
+  private def legacyTable(spark: SparkSession, stateRoot: String,
+                          table: String): Option[DataFrame] = {
+    val legacy = VersionedState.latestVersion(spark, stateRoot)
+    if (legacy < 0) return None
+    val p = s"$stateRoot/v=$legacy/$table"
+    if (fsOf(spark, stateRoot).exists(new Path(p)))
+      Some(spark.read.parquet(p))
+    else None
+  }
+
+  /** The current (doc_id, cluster_id) assignment table: merge-on-read
+    * over the delta layout, falling back to the latest legacy snapshot
+    * for a not-yet-migrated root. None when nothing is committed.
+    */
+  def currentClusters(spark: SparkSession, stateRoot: String): Option[DataFrame] = {
+    val view = VersionedState.stateView(spark, stateRoot)
+    if (view.isEmpty) legacyTable(spark, stateRoot, "clusters")
+    else Some(mergeClusters(spark, view.units(stateRoot)))
   }
 
   /** An append-only state table (names / keys / rejects) unioned across
-    * the committed view; None when nothing is committed.
+    * the committed view, with the same legacy-snapshot fallback; None
+    * when nothing is committed (or the legacy snapshot lacks the table).
     */
   def stateTable(spark: SparkSession, stateRoot: String,
-                 table: String): Option[DataFrame] =
-    VersionedState.readTable(spark, stateRoot, table)
+                 table: String): Option[DataFrame] = {
+    val view = VersionedState.stateView(spark, stateRoot)
+    if (view.isEmpty) legacyTable(spark, stateRoot, table)
+    else VersionedState.readTableFrom(spark, view.units(stateRoot), table)
+  }
 
   /** One-time layout migration: a legacy `v=<id>` full snapshot becomes
     * `base=<id>` (keys derived from names when the snapshot predates
     * persisted keys; rejects empty when absent), then the v= dirs are
-    * deleted. Idempotent: skipped once any delta-layout unit exists; a
-    * crash after the base commit leaves only harmless v= leftovers,
-    * swept on the next successful batch.
+    * deleted. A crash after the base commit leaves only harmless v=
+    * leftovers, swept on the next batch that sees them.
     */
-  private def migrateLegacy(spark: SparkSession, stateRoot: String): Unit = {
-    val legacy = VersionedState.latestVersion(spark, stateRoot)
-    if (legacy < 0 || VersionedState.highWater(spark, stateRoot) >= 0) return
+  private def migrateLegacy(spark: SparkSession, stateRoot: String,
+                            legacy: Long): Unit = {
     val in = s"$stateRoot/v=$legacy"
     val out = s"$stateRoot/base=$legacy"
     val names = spark.read.parquet(s"$in/names")
@@ -144,8 +188,8 @@ object StreamResolveJob {
   }
 
   /** Delete v= leftovers (post-migration, or a migration that crashed
-    * between base commit and cleanup). Readers never consult v= once a
-    * delta-layout unit exists, so this is pure housekeeping.
+    * between base commit and cleanup). Callers invoke this only when a
+    * v= dir was actually observed — no steady-state listing cost.
     */
   private def sweepLegacy(spark: SparkSession, stateRoot: String): Unit = {
     val fs = fsOf(spark, stateRoot)
@@ -167,12 +211,20 @@ object StreamResolveJob {
                   weights: SimilarityWeights = SimilarityWeights.default,
                   threshold: Double = 0.92,
                   maxBlockSize: Int = 1000,
+                  onDuplicate: String = "fail",
                   compactEvery: Int = 64): Unit = {
-    if (math.max(VersionedState.highWater(spark, stateRoot),
-        VersionedState.latestVersion(spark, stateRoot)) >= batchId)
+    var view = VersionedState.stateView(spark, stateRoot)
+    val legacy = VersionedState.latestVersion(spark, stateRoot)
+    if (math.max(view.highWater, legacy) >= batchId)
       return // replayed batch — state already has it
     Er.register(spark)
-    migrateLegacy(spark, stateRoot)
+    if (legacy >= 0) {
+      if (view.isEmpty) {
+        migrateLegacy(spark, stateRoot, legacy)
+        view = VersionedState.stateView(spark, stateRoot)
+      } else sweepLegacy(spark, stateRoot) // crashed-migration leftovers
+    }
+    val units = view.units(stateRoot)
 
     // persist (not localCheckpoint): the batch tables are read several
     // times within this micro-batch and must release their storage at
@@ -189,11 +241,10 @@ object StreamResolveJob {
         coalesce(Er.rejectReason(col("name")),
           when(Normalizer.normalizeColumn(col("name")) === "",
             lit("EMPTY_NORMALIZED"))))
-    val newNames = named
+    val rawNames = named
       .where(col("reject_reason").isNull)
       .select(col("doc_id"),
         Normalizer.normalizeColumn(col("name")).as("normalized"))
-      .persist()
     // the dropped docs are RECORDED, like the batch pipeline's rejects
     // table, instead of vanishing from the maintained state with no
     // trace (state doc counts must reconcile with ingested counts).
@@ -202,19 +253,26 @@ object StreamResolveJob {
       .where(col("reject_reason").isNotNull)
       .select(col("doc_id"), col("name"), col("reject_reason"),
         lit(batchId).as("batch_id"))
+    val corpusNames = VersionedState.readTableFrom(spark, units, "names")
+    val newNames = IngestContract
+      .duplicateIdGuard(rawNames, corpusNames, onDuplicate, batchId, "stream-resolve")
+      .map(dup => rawNames.join(dup, Seq("doc_id"), "left_anti"))
+      .getOrElse(rawNames).persist()
     val newKeys = stateKeys(newNames).persist()
     // the reconstructed assignment view is consumed 3x inside the
     // increment (contracted edges, cluster reps, changed-rows join) —
     // merge once, persist for the batch
-    val existingOpt = currentClusters(spark, stateRoot).map(_.persist())
+    val existingOpt =
+      if (units.isEmpty) None
+      else Some(mergeClusters(spark, units).persist())
     try {
       val (existing, existingNames, existingKeys) = existingOpt match {
         case None =>
           (batch.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0),
             newNames.limit(0), None)
         case Some(cl) =>
-          (cl, stateTable(spark, stateRoot, "names").get,
-            Some(stateTable(spark, stateRoot, "keys").get))
+          (cl, corpusNames.get,
+            Some(VersionedState.readTableFrom(spark, units, "keys").get))
       }
 
       val inc = IncrementalResolve.resolveNamesWithDelta(spark, existing,
@@ -230,8 +288,7 @@ object StreamResolveJob {
       newKeys.write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
       newRejects.write.mode(SaveMode.Overwrite).parquet(s"$out/rejects")
       VersionedState.commitDelta(spark, stateRoot, batchId)
-      sweepLegacy(spark, stateRoot)
-      maybeCompact(spark, stateRoot, batchId, compactEvery)
+      maybeCompact(spark, stateRoot, view, batchId, compactEvery)
     } finally {
       existingOpt.foreach(_.unpersist(false))
       newKeys.unpersist(false)
@@ -240,23 +297,23 @@ object StreamResolveJob {
   }
 
   /** Fold the committed view into `base=<upto>` when the live delta
-    * count reaches the threshold: the merged assignment view plus the
-    * unioned append-only tables, one O(corpus) rewrite every
-    * `compactEvery` batches. This bounds both the unit count the
-    * merge-on-read union touches and the per-doc row multiplicity the
-    * argmax collapses.
+    * count (the pre-batch view's plus this batch's) reaches the
+    * threshold: the merged assignment view plus the unioned append-only
+    * tables, one O(corpus) rewrite every `compactEvery` batches. This
+    * bounds both the unit count the merge-on-read union touches and the
+    * per-doc row multiplicity the argmax collapses.
     */
-  private def maybeCompact(spark: SparkSession, stateRoot: String, upto: Long,
+  private def maybeCompact(spark: SparkSession, stateRoot: String,
+                           preView: VersionedState.StateView, upto: Long,
                            compactEvery: Int): Unit = {
     if (compactEvery <= 0) return
-    val base = VersionedState.latestBase(spark, stateRoot)
-    val live = VersionedState.committedDeltas(spark, stateRoot).count(_ > base)
-    if (live < compactEvery) return
+    if (preView.liveDeltaIds.size + 1 < compactEvery) return
+    val units = preView.units(stateRoot) :+ (upto -> s"$stateRoot/d=$upto")
     val out = s"$stateRoot/base=$upto"
-    currentClusters(spark, stateRoot).get
+    mergeClusters(spark, units)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
     Seq("names", "keys", "rejects").foreach { t =>
-      stateTable(spark, stateRoot, t).get
+      VersionedState.readTableFrom(spark, units, t).get
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t")
     }
     VersionedState.commitBase(spark, stateRoot, upto)
@@ -273,6 +330,7 @@ object StreamResolveJob {
     }.getOrElse(SimilarityWeights.default)
     val threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.92)
     val maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(1000)
+    val onDuplicate = opts.getOrElse("on-duplicate", "fail")
     val compactEvery = opts.get("compact-every").map(_.toInt).getOrElse(64)
     // file sources need a schema before the stream starts: read it from
     // the existing files (the landing dir must hold at least one file)
@@ -285,7 +343,7 @@ object StreamResolveJob {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         attachBatch(spark, stateRoot, batch, batchId, weights, threshold,
-          maxBlockSize, compactEvery)
+          maxBlockSize, onDuplicate, compactEvery)
       }
     opts.get("trigger") match {
       case None | Some("availableNow") => writer.trigger(Trigger.AvailableNow()).start()

@@ -62,6 +62,50 @@ private[streaming] object VersionedState {
   // them by construction.
   // ------------------------------------------------------------------
 
+  /** The delta layout's committed state, captured in ONE root listing —
+    * a micro-batch computes this once and threads it through its reads,
+    * replay check and compaction decision instead of re-listing the
+    * root (object stores charge per LIST/HEAD; a dozen listings per
+    * trigger is pure metadata overhead).
+    */
+  final case class StateView(baseId: Long, deltaIds: Seq[Long]) {
+    /** Highest batchId the state contains — the replay skip boundary. */
+    def highWater: Long = math.max(baseId, deltaIds.lastOption.getOrElse(-1L))
+    def isEmpty: Boolean = baseId < 0 && deltaIds.isEmpty
+    /** Deltas the current base does not cover. */
+    def liveDeltaIds: Seq[Long] = deltaIds.filter(_ > baseId)
+    /** (unitId, dir) of the committed view, oldest first. */
+    def units(root: String): Seq[(Long, String)] = {
+      val baseUnit = if (baseId < 0) Nil else Seq(baseId -> s"$root/base=$baseId")
+      baseUnit ++ liveDeltaIds.map(id => id -> s"$root/d=$id")
+    }
+  }
+
+  /** One listing of the delta-layout state (see [[StateView]]). */
+  def stateView(spark: SparkSession, root: String): StateView = {
+    val fs = fsOf(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return StateView(-1L, Nil)
+    val committed = fs.listStatus(rootPath).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("base=") || n.startsWith("d=")) &&
+          fs.exists(new Path(p, "_COMMITTED"))
+      }.map(_.getName)
+    val bases = committed.filter(_.startsWith("base=")).map(_.drop(5).toLong)
+    val deltas = committed.filter(_.startsWith("d=")).map(_.drop(2).toLong)
+    StateView(if (bases.isEmpty) -1L else bases.max, deltas.sorted.toSeq)
+  }
+
+  /** One state table unioned across the given unit dirs (from
+    * [[StateView.units]]); None when there are none.
+    */
+  def readTableFrom(spark: SparkSession, units: Seq[(Long, String)],
+                    table: String): Option[DataFrame] = {
+    val dirs = units.map { case (_, d) => s"$d/$table" }
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** Committed delta batchIds, ascending (including any a base already
     * covers — callers filter with [[latestBase]]).
     */
@@ -115,21 +159,36 @@ private[streaming] object VersionedState {
   def commitDelta(spark: SparkSession, root: String, id: Long): Unit =
     fsOf(spark, root).create(new Path(s"$root/d=$id/_COMMITTED"), true).close()
 
-  /** Commit a base covering every delta <= `upto`, then GC: older bases
-    * and all d= dirs at-or-below `upto` (committed — now covered — and
-    * uncommitted leftovers from failed attempts). Readers never see a
-    * torn view: until the marker lands they read the old base + deltas;
-    * after it they read the new base, and the GC'd dirs were already
-    * excluded by the `delta > base` filter.
+  /** Commit a base covering every delta <= `upto`, then GC with a
+    * one-cycle GRACE WINDOW for concurrent readers (the delta-layout
+    * analog of the snapshot layout's keep-2): the PREVIOUS base and the
+    * deltas between it and `upto` survive this commit — a reader that
+    * listed the units just before the marker landed can still finish
+    * its scan — and are deleted by the NEXT base commit. What goes now:
+    * bases older than the previous one, and every d= dir at-or-below
+    * the previous base's upto (covered twice over, plus uncommitted
+    * leftovers from failed attempts down there). Readers never see a
+    * torn view either way: a base is invisible until its marker lands,
+    * and [[liveUnits]]' `delta > latest base` rule already excludes
+    * covered deltas the moment it does — GC is cleanup, not
+    * correctness.
     */
   def commitBase(spark: SparkSession, root: String, upto: Long): Unit = {
     val fs = fsOf(spark, root)
     fs.create(new Path(s"$root/base=$upto/_COMMITTED"), true).close()
+    val bases = committedUnits(spark, root, "base=")
+    val keepBases = bases.takeRight(2).map(id => s"base=$id").toSet
+    // previous base's upto: deltas at-or-below it lost their grace
+    // window when THIS base committed
+    val graceFloor = bases.takeRight(2) match {
+      case Seq(prev, _) => prev
+      case _ => -1L
+    }
     fs.listStatus(new Path(root)).map(_.getPath)
       .filter { p =>
         val n = p.getName
-        (n.startsWith("base=") && n != s"base=$upto") ||
-          (n.startsWith("d=") && n.drop(2).toLong <= upto)
+        (n.startsWith("base=") && !keepBases(n)) ||
+          (n.startsWith("d=") && n.drop(2).toLong <= graceFloor)
       }
       .foreach(p => fs.delete(p, true))
   }

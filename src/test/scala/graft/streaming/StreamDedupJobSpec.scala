@@ -81,19 +81,23 @@ class StreamDedupJobSpec extends AnyFunSuite {
     assert(VersionedState.highWater(spark, state) == 1L)
   }
 
-  test("compaction folds deltas into a base; pairs unchanged; covered deltas GC'd") {
+  test("compaction folds deltas into a base; covered deltas GC'd after one grace cycle") {
     val state = tmp("sdj-compact")
     StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
       threshold = 0.4, compactEvery = 0)
     StreamDedupJob.attachBatch(spark, state, mkDocs(10 until 20), batchId = 1L,
       threshold = 0.4, compactEvery = 0)
     val before = statePairs(state)
-    // third batch trips compactEvery=3: base=2 covers d=0,1,2
+    // third batch trips compactEvery=3: base=2 covers d=0,1,2 — which
+    // survive THIS commit (grace window for concurrent readers) but are
+    // already invisible to new listings
     StreamDedupJob.attachBatch(spark, state, mkDocs(20 until 30), batchId = 2L,
       threshold = 0.4, compactEvery = 3)
     assert(VersionedState.latestBase(spark, state) == 2L)
-    assert(VersionedState.committedDeltas(spark, state).isEmpty,
-      "covered deltas must be GC'd after base commit")
+    assert(VersionedState.stateView(spark, state).liveDeltaIds.isEmpty,
+      "covered deltas must not be in the live view")
+    assert(VersionedState.committedDeltas(spark, state) == Seq(0L, 1L, 2L),
+      "covered deltas get one grace cycle before GC")
     assert(statePairs(state).size > before.size, "batch 2's pairs must be present")
     // the compacted state must keep working as the corpus for the next
     // increment, full-recompute-exact as ever
@@ -103,22 +107,33 @@ class StreamDedupJobSpec extends AnyFunSuite {
       threshold = 0.4)
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
     assert(statePairs(state) == full)
+    // a SECOND compaction (base=4) ends the grace window: deltas at or
+    // below the previous base (d=0,1,2) are deleted; d=3,4 get theirs
+    StreamDedupJob.attachBatch(spark, state, mkDocs(40 until 50), batchId = 4L,
+      threshold = 0.4, compactEvery = 2)
+    assert(VersionedState.latestBase(spark, state) == 4L)
+    assert(VersionedState.committedDeltas(spark, state) == Seq(3L, 4L),
+      "previous cycle's covered deltas must be GC'd by the next base commit")
+    val full50 = Dedup.minhashNearDups(mkDocs(0 until 50), "doc_id", "text",
+      threshold = 0.4)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(statePairs(state) == full50)
   }
 
-  test("crash window: a committed delta a base already covers is ignored by readers") {
+  test("a committed delta the base covers is invisible to readers (grace retention)") {
     val state = tmp("sdj-crashwin")
     StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
       threshold = 0.4, compactEvery = 1) // compacts immediately: base=0
+    // the covered d=0 survives the commit (grace window) — prove readers
+    // never consult it by REPLACING its content with garbage
+    assert(VersionedState.committedDeltas(spark, state) == Seq(0L))
     val view = statePairs(state)
-    // simulate a crash between base commit and delta GC: re-create a
-    // committed d=0 with GARBAGE content; readers must not union it
     val garbage = mkDocs(100 until 105)
     Dedup.minhashState(garbage, "doc_id", "text").keys
-      .write.parquet(s"$state/d=0/keys")
+      .write.mode("overwrite").parquet(s"$state/d=0/keys")
     spark.emptyDataset[(Long, Long, Double)]
       .toDF("doc_id_a", "doc_id_b", "jaccard")
-      .write.parquet(s"$state/d=0/pairs")
-    VersionedState.commitDelta(spark, state, 0L)
+      .write.mode("overwrite").parquet(s"$state/d=0/pairs")
     assert(statePairs(state) == view,
       "a delta at-or-below the latest base must be invisible")
     assert(StreamDedupJob.readStateTable(spark, state, "keys").get

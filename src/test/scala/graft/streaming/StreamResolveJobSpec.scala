@@ -115,12 +115,38 @@ class StreamResolveJobSpec extends AnyFunSuite {
       ("b0-u", "b0-u")))
 
     // batch 2 trips compactEvery=3: the merged view folds into base=2 and
-    // reads identically afterwards
+    // reads identically afterwards (covered deltas linger one grace
+    // cycle but are out of the live view)
     StreamResolveJob.attachBatch(spark, state, docsDF(
       nameDoc("c0-n", "northwind traders")), batchId = 2L, compactEvery = 3)
     assert(VersionedState.latestBase(spark, state) == 2L)
-    assert(VersionedState.committedDeltas(spark, state).isEmpty)
+    assert(VersionedState.stateView(spark, state).liveDeltaIds.isEmpty)
     assert(stateClusters(state).toSet == now + (("c0-n", "c0-n")))
+  }
+
+  test("duplicate doc_id: fail aborts; drop keeps the first ingested version") {
+    val state = tmp("sjob-dup")
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("d0-a", "acme corporation"),
+      nameDoc("d0-b", "globex industries")), batchId = 0L)
+    // batch 1 re-delivers d0-b with a DIFFERENT name — two same-recency
+    // assignment rows would make the merge-on-read view nondeterministic,
+    // so the default policy aborts
+    val e = intercept[IllegalStateException] {
+      StreamResolveJob.attachBatch(spark, state, docsDF(
+        nameDoc("d0-b", "initech llc"),
+        nameDoc("d1-c", "initech llc")), batchId = 1L)
+    }
+    assert(e.getMessage.contains("re-delivers 1 doc_id"))
+    assert(VersionedState.stateView(spark, state).highWater == 0L,
+      "failed batch must not commit")
+    // drop mode: first-write-wins — d0-b keeps its original assignment
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("d0-b", "initech llc"),
+      nameDoc("d1-c", "initech llc")), batchId = 1L, onDuplicate = "drop")
+    val now = stateClusters(state).toSet
+    assert(now == Set(("d0-a", "d0-a"), ("d0-b", "d0-b"), ("d1-c", "d1-c")),
+      s"re-delivered doc must keep its first assignment; got $now")
   }
 
   test("legacy v= snapshot state (even without keys) migrates to base= on first contact") {
@@ -141,6 +167,13 @@ class StreamResolveJobSpec extends AnyFunSuite {
     VersionedState.fsOf(spark, state)
       .create(new org.apache.hadoop.fs.Path(s"$state/v=0/_COMMITTED"), true).close()
     val legacyCount = spark.read.parquet(s"$state/v=0/clusters").count()
+
+    // the readers must see the legacy snapshot BEFORE any batch migrates
+    // it — committed state is never reported empty
+    assert(StreamResolveJob.currentClusters(spark, state).get.count() == legacyCount)
+    assert(StreamResolveJob.stateTable(spark, state, "names").get.count() > 0)
+    assert(StreamResolveJob.stateTable(spark, state, "keys").isEmpty,
+      "a pre-keys legacy snapshot has no keys table to offer")
 
     StreamResolveJob.attachBatch(spark, state, corpus(15, seed = 32L), batchId = 1L)
     // migrated: base=0 carries the snapshot (keys derived from names),
