@@ -202,6 +202,31 @@ object Ann {
     spark.read.parquet(s"$path/centroids").orderBy("cell")
       .collect().map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toSeq
 
+  /** Append new vectors to a persisted index WITHOUT retraining: assign
+    * each to its nearest FROZEN centroid and append only the batch's
+    * rows into the partitioned layout — O(batch) write I/O, serving
+    * unchanged. This is the production index lifecycle at corpus scale:
+    * the quantizer is trained once (retraining relabels cells and forces
+    * a full index rewrite; do that as a rare offline rebuild when drift
+    * degrades recall), ingest is a per-batch assign + append. Results
+    * after an append are identical to [[ivfTopK]] over the union with
+    * the same centroids (same assignment expression, same ranking).
+    *
+    * Caveats: ids must be globally unique (a re-appended id appears
+    * twice in results — enforce upstream or via the streaming jobs'
+    * ingest guard), and the parquet append is not atomic (a crashed
+    * append can leave partial files; wrap calls in the caller's
+    * commit/replay protocol where exactly-once matters, as
+    * [[graft.streaming.VersionedState]] does for the streaming jobs).
+    */
+  def ivfAppend(newItems: DataFrame, path: String,
+                idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val centroids = ivfReadCentroids(newItems.sparkSession, path)
+    newItems.select(col(idCol).as("item_id"), col(embCol).as("item_emb"))
+      .withColumn("cell", cellOf(col("item_emb"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/items")
+  }
+
   /** Top-k against a persisted index, reading ONLY the probed cell
     * directories. The distinct probed-cell set is collected from the
     * query side first — it is bounded by the centroid count (a

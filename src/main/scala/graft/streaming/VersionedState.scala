@@ -3,14 +3,24 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Durable versioned-snapshot state shared by the streaming jobs
-  * ([[StreamResolveJob]], [[StreamDedupJob]]): state versions live at
-  * `root/v=<batchId>`, committed by creating `v=<id>/_COMMITTED` LAST (a
-  * single atomic create — no rename-overwrite semantics to depend on; a
-  * crash mid-write leaves an uncommitted dir that the replay
-  * overwrites). Structured Streaming replays a failed batch with the
-  * SAME batchId, so skipping any batch at-or-below the max committed
-  * version gives exactly-once state on at-least-once foreachBatch.
+/** Durable state layouts shared by the streaming jobs, both built on
+  * one primitive: a unit directory becomes visible by creating its
+  * `_COMMITTED` marker LAST (a single atomic create — no
+  * rename-overwrite semantics to depend on; a crash mid-write leaves an
+  * uncommitted dir that the replay overwrites). Structured Streaming
+  * replays a failed batch with the SAME batchId, so skipping any batch
+  * at-or-below the state's high-water mark gives exactly-once state on
+  * at-least-once foreachBatch.
+  *
+  * Two layouts:
+  *  - `v=<batchId>` FULL SNAPSHOTS (legacy; [[latestVersion]] /
+  *    [[commitVersion]], keep-2 pruning) — every version rewrites the
+  *    whole state. [[StreamResolveJob]] migrates such roots on contact.
+  *  - `d=<batchId>` APPEND DELTAS + `base=<upto>` compactions (the
+  *    current layout, both jobs): a batch writes only its own rows;
+  *    readers see the latest base plus deltas above it
+  *    ([[StateView]]/[[liveUnits]]); compaction folds them into a new
+  *    base with a one-cycle GC grace window ([[commitBase]]).
   */
 private[streaming] object VersionedState {
 

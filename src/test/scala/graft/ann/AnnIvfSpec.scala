@@ -70,4 +70,24 @@ class AnnIvfSpec extends AnyFunSuite {
     val filters = plan.slice(pf, plan.indexOf("]", pf))
     assert(filters.contains("cell#") && filters.contains(" in ("), filters)
   }
+
+  test("ivfAppend: frozen-centroid ingest == retrain-free index over the union") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-app").toString
+    // train on the first 200 vectors, append the remaining 40 later —
+    // the standard lifecycle: quantizer frozen, ingest is assign+append
+    val initial = df.where($"vec_id" < 200)
+    val batch = df.where($"vec_id" >= 200)
+    val centroids = Ann.ivfTrain(initial, k = 6, iters = 2)
+    Ann.ivfWriteIndex(initial, centroids, path)
+    Ann.ivfAppend(batch, path)
+    val queries = df.where($"vec_id" % 40 === 0)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().sorted
+    // identical to serving an index built over the union with the SAME
+    // frozen centroids — appended vectors are fully searchable
+    val expected = rows(Ann.ivfTopK(df, queries, centroids, k = 5, nProbe = 2))
+    val served = rows(Ann.ivfTopKFromIndex(spark, path, queries, k = 5, nProbe = 2))
+    assert(served.sameElements(expected))
+    assert(served.exists(_._2 >= 200), "appended vectors must be retrievable")
+  }
 }
