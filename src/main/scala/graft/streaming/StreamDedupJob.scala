@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.dedup.Dedup
@@ -46,17 +47,19 @@ import graft.util.Args
   * state on at-least-once foreachBatch), crash-safe compaction GC, and
   * the fail-fast checkpoint/state lineage guard.
   *
-  * Ingest contract (per [[Dedup.minhashNearDupsIncrement]]): doc ids are
-  * globally unique across batches — a re-delivered id would fan the
-  * verify join through two shingle rows and silently corrupt the
-  * maintained pair set. `--on-duplicate` ENFORCES it per batch with one
-  * semi-join against the corpus key table (same order of work as the
+  * Ingest contract (per [[Dedup.minhashNearDupsIncrement]]): doc ids
+  * are globally unique — a duplicated id would fan the verify join
+  * through two shingle rows and silently corrupt the maintained pair
+  * set. `--on-duplicate` ENFORCES it per batch ([[IngestContract]]: a
+  * batch-sized groupBy for ids repeated WITHIN the batch, plus one
+  * semi-join against the corpus key table — same order of work as the
   * increment join itself): `fail` (default) aborts the batch, `drop`
-  * keeps the FIRST ingested version (re-delivered ids are skipped, count
-  * logged), `allow` skips the check for inputs with an upstream
-  * uniqueness guarantee. Docs with null/empty text carry no band key and
-  * no shingle set — they can never pair and are not added to the state
-  * (same semantics as the batch operator).
+  * keeps the FIRST ingested version (corpus re-deliveries skipped;
+  * within-batch repeats excluded entirely; counts logged), `allow`
+  * skips the check for inputs with an upstream uniqueness guarantee.
+  * Docs with null/empty text carry no band key and no shingle set —
+  * they can never pair and are not added to the state (same semantics
+  * as the batch operator).
   */
 object StreamDedupJob {
 
@@ -152,8 +155,16 @@ object StreamDedupJob {
       if (algo == "simhash") {
         val keys0 = Dedup.simhashState(batch, idCol, textCol)
         val corpusKeys = readT("keys")
+        // the guard checks EVERY ingested id (the raw batch, one row per
+        // doc — the key table has many rows per doc and would miscount
+        // intra-batch repeats), including null-text docs that never
+        // enter state: the uniqueness contract is on the ingest, not on
+        // what survives keying. Dropped ids are logged, not stored —
+        // unlike the resolve job there is no rejects table here; the
+        // dedup state carries content state only.
         val keys = IngestContract
-          .duplicateIdGuard(keys0, corpusKeys, onDuplicate, batchId, "stream-dedup")
+          .duplicateIdGuard(batch.select(col(idCol).as("doc_id")),
+            corpusKeys, onDuplicate, batchId, "stream-dedup")
           .map(dup => keys0.join(dup, Seq("doc_id"), "left_anti"))
           .getOrElse(keys0).persist()
         val inc = Dedup.incrementFromSimhashKeys(keys,
@@ -166,7 +177,8 @@ object StreamDedupJob {
           corpusKeys.getOrElse(raw.keys.limit(0)),
           readT("shingles").getOrElse(raw.shingles.limit(0)))
         val drop = IngestContract
-          .duplicateIdGuard(raw.keys, corpusKeys, onDuplicate, batchId, "stream-dedup")
+          .duplicateIdGuard(batch.select(col(idCol).as("doc_id")),
+            corpusKeys, onDuplicate, batchId, "stream-dedup")
         def minus(df: DataFrame) =
           drop.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
         val st = Dedup.NearDupState(

@@ -245,19 +245,36 @@ object StreamResolveJob {
       .where(col("reject_reason").isNull)
       .select(col("doc_id"),
         Normalizer.normalizeColumn(col("name")).as("normalized"))
-    // the dropped docs are RECORDED, like the batch pipeline's rejects
+    val corpusNames = VersionedState.readTableFrom(spark, units, "names")
+    // the unique-id contract is checked over EVERY ingested doc (valid
+    // or not) — an id delivered twice in one batch is a duplicate even
+    // when one copy is invalid
+    val dup = IngestContract.duplicateIdGuard(named.select(col("doc_id")),
+      corpusNames, onDuplicate, batchId, "stream-resolve")
+    val newNames = dup
+      .map(d => rawNames.join(d, Seq("doc_id"), "left_anti"))
+      .getOrElse(rawNames).persist()
+    // EVERY dropped doc is RECORDED, like the batch pipeline's rejects
     // table, instead of vanishing from the maintained state with no
-    // trace (state doc counts must reconcile with ingested counts).
-    // Consumed once (written below); no persist needed.
-    val newRejects = named
+    // trace: per-batch reconciliation (ingested == clustered + rejected)
+    // must hold, so docs excluded by the duplicate-id guard land in
+    // rejects too (reason DUPLICATE_ID, one deterministic row per id,
+    // superseding any validity reject for the same id). Consumed once
+    // (written below); no persist needed.
+    val validityRejects = named
       .where(col("reject_reason").isNotNull)
       .select(col("doc_id"), col("name"), col("reject_reason"),
         lit(batchId).as("batch_id"))
-    val corpusNames = VersionedState.readTableFrom(spark, units, "names")
-    val newNames = IngestContract
-      .duplicateIdGuard(rawNames, corpusNames, onDuplicate, batchId, "stream-resolve")
-      .map(dup => rawNames.join(dup, Seq("doc_id"), "left_anti"))
-      .getOrElse(rawNames).persist()
+    val newRejects = dup match {
+      case None => validityRejects
+      case Some(d) =>
+        validityRejects.join(d, Seq("doc_id"), "left_anti")
+          .unionByName(named.join(d, Seq("doc_id"), "left_semi")
+            .groupBy("doc_id").agg(min(col("name")).as("name"))
+            .select(col("doc_id"), col("name"),
+              lit("DUPLICATE_ID").as("reject_reason"),
+              lit(batchId).as("batch_id")))
+    }
     val newKeys = stateKeys(newNames).persist()
     // the reconstructed assignment view is consumed 3x inside the
     // increment (contracted edges, cluster reps, changed-rows join) —
@@ -288,7 +305,7 @@ object StreamResolveJob {
       newKeys.write.mode(SaveMode.Overwrite).parquet(s"$out/keys")
       newRejects.write.mode(SaveMode.Overwrite).parquet(s"$out/rejects")
       VersionedState.commitDelta(spark, stateRoot, batchId)
-      maybeCompact(spark, stateRoot, view, batchId, compactEvery)
+      maybeCompact(spark, stateRoot, view, batchId, existingOpt, compactEvery)
     } finally {
       existingOpt.foreach(_.unpersist(false))
       newKeys.unpersist(false)
@@ -301,17 +318,30 @@ object StreamResolveJob {
     * threshold: the merged assignment view plus the unioned append-only
     * tables, one O(corpus) rewrite every `compactEvery` batches. This
     * bounds both the unit count the merge-on-read union touches and the
-    * per-doc row multiplicity the argmax collapses.
+    * per-doc row multiplicity the argmax collapses. The clusters view is
+    * NOT re-merged from parquet: the batch already holds the pre-batch
+    * merge (persisted `preMerged`) and just wrote its changed rows —
+    * latest-wins over those two is the identical table for one cheap
+    * anti-join instead of a corpus-wide re-read + re-aggregation.
     */
   private def maybeCompact(spark: SparkSession, stateRoot: String,
                            preView: VersionedState.StateView, upto: Long,
+                           preMerged: Option[DataFrame],
                            compactEvery: Int): Unit = {
     if (compactEvery <= 0) return
     if (preView.liveDeltaIds.size + 1 < compactEvery) return
     val units = preView.units(stateRoot) :+ (upto -> s"$stateRoot/d=$upto")
     val out = s"$stateRoot/base=$upto"
-    mergeClusters(spark, units)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
+    // read the just-committed delta back (batch-sized, durable) rather
+    // than re-evaluating the increment's changed-rows plan
+    val deltaClusters = spark.read.parquet(s"$stateRoot/d=$upto/clusters")
+    val baseClusters = preMerged match {
+      case None => deltaClusters
+      case Some(ex) =>
+        ex.join(deltaClusters.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(deltaClusters)
+    }
+    baseClusters.write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
     Seq("names", "keys", "rejects").foreach { t =>
       VersionedState.readTableFrom(spark, units, t).get
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t")

@@ -120,31 +120,25 @@ private[streaming] object VersionedState {
     * covers — callers filter with [[latestBase]]).
     */
   def committedDeltas(spark: SparkSession, root: String): Seq[Long] =
-    committedUnits(spark, root, "d=")
+    stateView(spark, root).deltaIds
 
   /** The latest committed base's covered-up-to id, or -1 if none. */
   def latestBase(spark: SparkSession, root: String): Long =
-    committedUnits(spark, root, "base=").lastOption.getOrElse(-1L)
+    stateView(spark, root).baseId
 
   /** Highest batchId the state already contains (base or delta) — the
     * replay skip boundary, same contract as [[latestVersion]] for the
     * snapshot layout.
     */
   def highWater(spark: SparkSession, root: String): Long =
-    math.max(latestBase(spark, root),
-      committedDeltas(spark, root).lastOption.getOrElse(-1L))
+    stateView(spark, root).highWater
 
   /** (unitId, directory) of the current committed view of the state,
-    * oldest first: the latest base (if any, id = its covered-up-to) then
-    * every committed delta above it. Empty when nothing is committed.
-    * The id gives merge-on-read readers their recency order.
+    * oldest first (see [[StateView.units]] — one source of truth for
+    * the view rule).
     */
-  def liveUnits(spark: SparkSession, root: String): Seq[(Long, String)] = {
-    val base = latestBase(spark, root)
-    val baseUnit = if (base < 0) Nil else Seq(base -> s"$root/base=$base")
-    baseUnit ++ committedDeltas(spark, root).filter(_ > base)
-      .map(id => id -> s"$root/d=$id")
-  }
+  def liveUnits(spark: SparkSession, root: String): Seq[(Long, String)] =
+    stateView(spark, root).units(root)
 
   /** Directories of the current committed view, oldest first. */
   def liveUnitDirs(spark: SparkSession, root: String): Seq[String] =

@@ -140,13 +140,47 @@ class StreamResolveJobSpec extends AnyFunSuite {
     assert(e.getMessage.contains("re-delivers 1 doc_id"))
     assert(VersionedState.stateView(spark, state).highWater == 0L,
       "failed batch must not commit")
-    // drop mode: first-write-wins — d0-b keeps its original assignment
+    // drop mode: first-write-wins — d0-b keeps its original assignment,
+    // and the dropped duplicate is RECORDED in the delta's rejects table
+    // (ingested == clustered + rejected must reconcile per batch)
     StreamResolveJob.attachBatch(spark, state, docsDF(
       nameDoc("d0-b", "initech llc"),
       nameDoc("d1-c", "initech llc")), batchId = 1L, onDuplicate = "drop")
     val now = stateClusters(state).toSet
     assert(now == Set(("d0-a", "d0-a"), ("d0-b", "d0-b"), ("d1-c", "d1-c")),
       s"re-delivered doc must keep its first assignment; got $now")
+    val dupRejects = spark.read.parquet(s"$state/d=1/rejects")
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[String]("reject_reason")))
+    assert(dupRejects.toSet == Set(("d0-b", "DUPLICATE_ID")),
+      s"dropped duplicate must land in rejects; got ${dupRejects.toSet}")
+  }
+
+  test("intra-batch duplicate ids are caught even against an empty corpus") {
+    // availableNow with no file cap puts the whole backlog in ONE batch —
+    // a corpus-only check would see nothing; the guard must still catch it
+    val state = tmp("sjob-intradup")
+    val e = intercept[IllegalStateException] {
+      StreamResolveJob.attachBatch(spark, state, docsDF(
+        nameDoc("x-1", "acme corporation"),
+        nameDoc("x-1", "globex industries"),
+        nameDoc("x-2", "initech llc")), batchId = 0L)
+    }
+    assert(e.getMessage.contains("re-delivers 1 doc_id"))
+    // drop mode: no copy of an intra-batch repeat is "first" — the id is
+    // excluded entirely and recorded
+    StreamResolveJob.attachBatch(spark, state, docsDF(
+      nameDoc("x-1", "acme corporation"),
+      nameDoc("x-1", "globex industries"),
+      nameDoc("x-2", "initech llc")), batchId = 0L, onDuplicate = "drop")
+    assert(stateClusters(state).toSet == Set(("x-2", "x-2")))
+    val rejects = StreamResolveJob.stateTable(spark, state, "rejects").get
+      .collect().map(r => (r.getAs[String]("doc_id"), r.getAs[String]("reject_reason")))
+    assert(rejects.toSet == Set(("x-1", "DUPLICATE_ID")))
+    // an unknown mode must throw, never silently drop
+    assertThrows[IllegalArgumentException] {
+      StreamResolveJob.attachBatch(spark, state, docsDF(
+        nameDoc("x-3", "acme corporation")), batchId = 1L, onDuplicate = "ignore")
+    }
   }
 
   test("legacy v= snapshot state (even without keys) migrates to base= on first contact") {
