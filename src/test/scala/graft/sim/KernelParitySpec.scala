@@ -77,6 +77,24 @@ class KernelParitySpec extends AnyFunSuite {
     checkPair("kitten", "sitting")
   }
 
+  test("lev word boundaries: middles straddling the 64/128-bit Myers blocks") {
+    // after prefix/suffix trim the Myers pattern length decides the
+    // single-word vs block path — drive lengths right at the seams
+    val rng = new scala.util.Random(6464)
+    def s(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    for (m <- Seq(1, 2, 63, 64, 65, 127, 128, 129, 193);
+         n <- Seq(1, 63, 64, 65, 200)) {
+      checkPair(s(m), s(n))
+      // shared prefix+suffix so the TRIMMED middle hits the length
+      val mid1 = s(m); val mid2 = s(n)
+      checkPair("prefix " + mid1 + " suffix", "prefix " + mid2 + " suffix")
+    }
+    // small-alphabet exhaustive-ish: dense match vectors stress carries
+    (1 to 500).foreach { _ =>
+      checkPair(s(1 + rng.nextInt(70)), s(1 + rng.nextInt(70)))
+    }
+  }
+
   test("ASCII/non-ASCII gate: fallback fires per pair, same result shape") {
     val pairs = Seq(
       ("café royale", "cafe royale"),      // one side multi-byte
