@@ -42,6 +42,19 @@ final case class PipelineConfig(
       * data and never enter the quadratic pair space.
       */
     exactPregroup: Boolean = true,
+    /** AQE runtime broadcast threshold for the pipeline's joins
+      * (spark.sql.adaptive.autoBroadcastJoinThreshold). The scoring
+      * stage joins the pair table against the NAMES dim twice; when the
+      * measured names size fits under this bound, AQE converts those
+      * sort-merge joins to broadcast-hash — the ~half-KB name strings
+      * then never ride a pair-scale shuffle (measured: the dominant
+      * shuffle/sort bytes of the whole pipeline). This is runtime-
+      * adaptive, not a hint: at true corpus scale the measured dim
+      * exceeds the bound and AQE keeps the shuffle join, so the setting
+      * is safe at every scale; 256m costs at most ~3x that in executor
+      * hash-relation memory when it does fire.
+      */
+    adaptiveBroadcastThreshold: String = "256m",
     /** M9 canMerge, type half (merge/MergeEngine.java:310-322): name of a
       * column on the input docs carrying the entity type; docs of
       * different types share blocking keys and get scored, but never
@@ -134,6 +147,8 @@ object ResolvePipeline {
     // handful of tasks (observed 2-task 8s stages on a 32-core box).
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      cfg.adaptiveBroadcastThreshold)
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))

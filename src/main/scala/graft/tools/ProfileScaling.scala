@@ -16,14 +16,34 @@ object ProfileScaling {
     val cores = if (args.length > 0) args(0).toInt else 4
     val entities = if (args.length > 1) args(1).toInt else 20000
     val filler = if (args.length > 2) args(2).toInt else 64
+    val parts = if (args.length > 3) args(3).toInt else cores
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-profile-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.rdd.compress", sys.env.getOrElse("GRAFT_RDD_COMPRESS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_STAGE_METRICS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val tm = si.taskMetrics
+            val wall = (for (e <- si.completionTime; s <- si.submissionTime)
+              yield (e - s) / 1000.0).getOrElse(-1.0)
+            System.err.println(
+              f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%6.1f s " +
+              f"run=${tm.executorRunTime / 1000.0}%7.1f cpu=${tm.executorCpuTime / 1e9}%7.1f " +
+              f"gc=${tm.jvmGCTime / 1000.0}%5.1f " +
+              f"shufW=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%6.0fMB " +
+              f"shufR=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%6.0fMB " +
+              si.name.takeWhile(_ != '\n').take(60))
+          }
+        })
 
     val docs = DocGen.corpusDF(spark, entities, 4,
       partitions = spark.sparkContext.defaultParallelism,
@@ -32,7 +52,7 @@ object ProfileScaling {
       .localCheckpoint(true)
     val t0 = System.nanoTime()
     val result = ResolvePipeline.run(spark, docs,
-      PipelineConfig(numShufflePartitions = Some(cores)))
+      PipelineConfig(numShufflePartitions = Some(parts)))
     val pairs = result.pairScores.count()
     val nClusters = result.clusters.select("cluster_id").distinct().count()
     val dt = (System.nanoTime() - t0) / 1e9
