@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -38,6 +38,57 @@ object Dedup {
       .select("doc_id", "content_hash", "keeper", "is_dup")
   }
 
+  /** Verify-payload cap: a doc's stored shingle-hash set is at most this
+    * many longs. The verify join ships one set per pair side — at
+    * O(text-length) longs per row that is fine for web-page-sized docs
+    * (the p99 web page is well under this) but a book-length document
+    * would put megabytes on every one of its candidate pairs. Sets
+    * larger than the cap are stored as their BOTTOM-K SKETCH (the K
+    * smallest hashes under the mixed selection order — see [[bottomK]])
+    * plus the true distinct count, and
+    * such pairs verify with the standard bottom-k Jaccard estimator
+    * (Broder-style: bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)),
+    * and membership of a union-sketch element in each side's sketch
+    * equals membership in the side itself — so
+    * |bottomK(A∪B) ∩ A' ∩ B'| / K estimates J with σ ≈ √(J(1-J)/K),
+    * ±0.006 at K=8192). Pairs where BOTH sides are under the cap use
+    * the exact formula, unchanged — so every oracle-checked corpus
+    * (documents.parquet caps at ~600 chars) is bit-identical, and the
+    * estimator only engages where the alternative is an unbounded
+    * payload. No silent truncation: the stored true count makes capped
+    * docs visible ([[NearDupState]] consumers can count `__n > cap`).
+    */
+  val DefaultMaxShingles: Int = 8192
+
+  /** Bottom-k selection order: a well-MIXED key over the 60-bit shingle
+    * identity, not the identity itself. The rolling polynomial hash that
+    * forms the identity orders shingles by their leading characters, so
+    * common shingles sort low — a bottom-k under IT preferentially keeps
+    * the shingles both documents share and overestimates J (measured
+    * +0.03 on a J=0.90 pair). xxhash64 makes the selection order
+    * independent of shingle content; ties (64-bit, none in practice)
+    * break on the identity, so the order is total and both sides select
+    * consistently.
+    */
+  private def bottomK(hs: Column, k: Int): Column =
+    transform(
+      slice(array_sort(transform(hs,
+        h => struct(xxhash64(h).as("m"), h.as("h")))), 1, k),
+      s => s.getField("h"))
+
+  /** Shingle-set columns for a text column: (__s capped set, __n true
+    * distinct count). The full set is staged once per row via the
+    * surrounding withColumn (multi-use alias) before cap/count.
+    */
+  private def shingleSetCols(df: DataFrame, textCol: Column,
+                             maxShingles: Int): DataFrame =
+    df.withColumn("__full", BlockingKeys.shingleHashes60(textCol))
+      .withColumn("__n", size(col("__full")))
+      .withColumn("__s",
+        when(col("__n") > maxShingles, bottomK(col("__full"), maxShingles))
+          .otherwise(col("__full")))
+      .drop("__full")
+
   /** Shared near-dup verify: stage each doc's 60-bit shingle-hash set
     * ONCE (eager materialization — the set is consumed by both join
     * sides, and without the barrier the whole per-character shingling
@@ -45,25 +96,46 @@ object Dedup {
     * keep pairs with hash-set Jaccard >= threshold.
     */
   private def verifyShingleJaccard(pairs: DataFrame, base: DataFrame,
-                                   threshold: Double): DataFrame =
+                                   threshold: Double,
+                                   maxShingles: Int = DefaultMaxShingles): DataFrame =
     verifyFromSets(pairs,
-      base.withColumn("__s", BlockingKeys.shingleHashes60(col("text")))
-        .select("doc_id", "__s")
+      shingleSetCols(base, col("text"), maxShingles)
+        .select("doc_id", "__s", "__n")
         .localCheckpoint(true),
-      threshold)
+      threshold, maxShingles)
 
   /** Verify candidate pairs against PRE-COMPUTED shingle-hash sets
-    * (doc_id, __s) — the form the incremental path uses, where the
-    * corpus sets are a persisted table, not re-derived from text.
+    * (doc_id, __s[, __n]) — the form the incremental path uses, where
+    * the corpus sets are a persisted table, not re-derived from text.
+    * A missing/null __n (state written before the cap existed — such
+    * sets are always full) defaults to the set size. Pairs with both
+    * sides under `maxShingles` use the exact Jaccard; a capped side
+    * switches the pair to the bottom-k estimator (see
+    * [[DefaultMaxShingles]]).
     */
   private def verifyFromSets(pairs: DataFrame, sets: DataFrame,
-                             threshold: Double): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"))
-    val b = sets.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"))
+                             threshold: Double,
+                             maxShingles: Int = DefaultMaxShingles): DataFrame = {
+    val withN =
+      if (sets.columns.contains("__n")) sets
+      else sets.withColumn("__n", size(col("__s")))
+    val a = withN.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"),
+      coalesce(col("__n"), size(col("__s"))).as("n_a"))
+    val b = withN.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"),
+      coalesce(col("__n"), size(col("__s"))).as("n_b"))
     val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
+    val exactJ =
+      inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)
+    // bottom-k estimate: the K mix-order-smallest of the union of the two
+    // sketches IS bottomK(A ∪ B); count how many of them sit in both sides
+    val u = bottomK(array_union(col("s_a"), col("s_b")), maxShingles)
+    val sketchJ =
+      size(array_intersect(array_intersect(u, col("s_a")), col("s_b")))
+        .cast("double") / size(u).cast("double")
     pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("jaccard",
-        inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter))
+        when(col("n_a") <= maxShingles && col("n_b") <= maxShingles, exactJ)
+          .otherwise(sketchJ))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -79,11 +151,12 @@ object Dedup {
     * have equal hash sets and score exactly 1.0 arithmetically.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.7, maxBlockSize: Int = 10000): DataFrame = {
+                      threshold: Double = 0.7, maxBlockSize: Int = 10000,
+                      maxShingles: Int = DefaultMaxShingles): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
-    verifyShingleJaccard(pairs, base, threshold)
+    verifyShingleJaccard(pairs, base, threshold, maxShingles)
   }
 
   /** Persisted corpus state for incremental near-dup: the LSH band-key
@@ -101,14 +174,15 @@ object Dedup {
     * native minhash kernel for keys, the staged shingle-hash array for
     * the verify sets).
     */
-  def minhashState(df: DataFrame, idCol: String, textCol: String): NearDupState = {
+  def minhashState(df: DataFrame, idCol: String, textCol: String,
+                   maxShingles: Int = DefaultMaxShingles): NearDupState = {
     val base = df
       .where(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
     NearDupState(
       BlockingKeys.minhashKeyTable(base, "doc_id", col("text")),
-      base.select(col("doc_id"),
-        BlockingKeys.shingleHashes60(col("text")).as("__s")))
+      shingleSetCols(base, col("text"), maxShingles)
+        .select("doc_id", "__s", "__n"))
   }
 
   /** Result of one dedup increment: the near-dup pairs TOUCHING the new
@@ -177,7 +251,11 @@ object Dedup {
       .select(least(col("__new_id"), col("__old_id")).as("doc_id_a"),
         greatest(col("__new_id"), col("__old_id")).as("doc_id_b"))
       .distinct()
-    val sets = corpus.shingles.unionByName(batch.shingles)
+    // allowMissingColumns: a corpus persisted before the shingle cap has
+    // no __n column (all its sets are full); the null fills coalesce to
+    // size(__s) inside verifyFromSets
+    val sets = corpus.shingles
+      .unionByName(batch.shingles, allowMissingColumns = true)
     NearDupIncrement(
       verifyFromSets(newNew.unionByName(newOld), sets, threshold), batch)
   }

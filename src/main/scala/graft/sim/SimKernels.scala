@@ -1,11 +1,20 @@
 package graft.sim
 
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Allocation-light similarity kernels over UTF8String for the hot
   * scoring path. ASCII inputs (the overwhelming case) are processed
-  * directly on the byte arrays with ThreadLocal scratch buffers — no
-  * String materialization, no regex, no per-call arrays. Non-ASCII falls
+  * IN PLACE on the string's backing memory (base object + offset via
+  * Platform.getByte) with ThreadLocal scratch buffers — no String
+  * materialization, no regex, no per-call arrays, and crucially no
+  * `getBytes` copies: a UTF8String sliced out of an UnsafeRow (every
+  * join output) is not array-aligned, so getBytes allocates a fresh
+  * byte[] per call — six ~half-KB arrays per scored pair across the
+  * three kernels, ~20 GB of eden churn per 10M pairs. That allocation
+  * rate is invisible single-threaded but multiplies with threads and
+  * was the measured source of the scoring stage's per-core CPU
+  * inflation under parallelism (1.33x at 4 threads). Non-ASCII falls
   * back to the reference-exact String ports in [[Levenshtein]] /
   * [[JaroWinkler]] / [[Jaccard]].
   *
@@ -18,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimKernels {
 
   private def isAscii(s: UTF8String): Boolean = s.numBytes() == s.numChars()
+
+  /** In-place byte read: the ASCII kernels index the string's backing
+    * memory directly (byte[] heap base or off-heap address) — the
+    * JIT-intrinsified Unsafe access compiles to the same mov as an
+    * array load, minus the copy getBytes would have made.
+    */
+  @inline private def bt(base: AnyRef, off: Long, i: Int): Byte =
+    Platform.getByte(base, off + i)
 
   // ---------------------------------------------------------------- lev
 
@@ -50,50 +67,55 @@ object SimKernels {
     if (!(isAscii(a) && isAscii(b))) {
       return Levenshtein.similarity(a.toString, b.toString)
     }
-    val ab = a.getBytes
-    val bb = b.getBytes
+    val aBase = a.getBaseObject
+    val aOff = a.getBaseOffset
+    val lenA = a.numBytes()
+    val bBase = b.getBaseObject
+    val bOff = b.getBaseOffset
+    val lenB = b.numBytes()
     // exact trim: edit distance is invariant under stripping a shared
     // prefix and suffix. Near-dup pairs — the common case in an ER
     // candidate set — collapse to a tiny middle (often a single token),
     // turning the quadratic core into a handful of word ops. The
     // similarity denominator stays the FULL lengths.
     var lo = 0
-    val minLen = math.min(ab.length, bb.length)
-    while (lo < minLen && ab(lo) == bb(lo)) lo += 1
-    var hiA = ab.length
-    var hiB = bb.length
-    while (hiA > lo && hiB > lo && ab(hiA - 1) == bb(hiB - 1)) { hiA -= 1; hiB -= 1 }
+    val minLen = math.min(lenA, lenB)
+    while (lo < minLen && bt(aBase, aOff, lo) == bt(bBase, bOff, lo)) lo += 1
+    var hiA = lenA
+    var hiB = lenB
+    while (hiA > lo && hiB > lo &&
+      bt(aBase, aOff, hiA - 1) == bt(bBase, bOff, hiB - 1)) { hiA -= 1; hiB -= 1 }
     val mA = hiA - lo
     val mB = hiB - lo
     val dist =
       if (mA == 0) mB
       else if (mB == 0) mA
       else if (mA <= mB) {
-        if (mA <= 64) myersWord(ab, lo, mA, bb, lo, mB)
-        else myersBlocks(ab, lo, mA, bb, lo, mB)
+        if (mA <= 64) myersWord(aBase, aOff + lo, mA, bBase, bOff + lo, mB)
+        else myersBlocks(aBase, aOff + lo, mA, bBase, bOff + lo, mB)
       } else {
-        if (mB <= 64) myersWord(bb, lo, mB, ab, lo, mA)
-        else myersBlocks(bb, lo, mB, ab, lo, mA)
+        if (mB <= 64) myersWord(bBase, bOff + lo, mB, aBase, aOff + lo, mA)
+        else myersBlocks(bBase, bOff + lo, mB, aBase, aOff + lo, mA)
       }
-    1.0 - dist.toDouble / math.max(ab.length, bb.length)
+    1.0 - dist.toDouble / math.max(lenA, lenB)
   }
 
   /** Single-word Myers (pattern length m <= 64). VP starts all-ones:
     * garbage bits at-or-above m never reach lower bits (the addition's
     * carries travel upward only) and the score reads bit m-1.
     */
-  private def myersWord(p: Array[Byte], pOff: Int, m: Int,
-                        t: Array[Byte], tOff: Int, n: Int): Int = {
+  private def myersWord(p: AnyRef, pOff: Long, m: Int,
+                        t: AnyRef, tOff: Long, n: Int): Int = {
     val peq = peqScratch.get()
     var i = 0
-    while (i < m) { peq(p(pOff + i) & 0xff) |= 1L << i; i += 1 }
+    while (i < m) { peq(bt(p, pOff, i) & 0xff) |= 1L << i; i += 1 }
     var vp = -1L
     var vn = 0L
     var score = m
     val mask = 1L << (m - 1)
     var j = 0
     while (j < n) {
-      val eq = peq(t(tOff + j) & 0xff)
+      val eq = peq(bt(t, tOff, j) & 0xff)
       val d0 = (((eq & vp) + vp) ^ vp) | eq | vn
       val hp = vn | ~(d0 | vp)
       val hn = vp & d0
@@ -106,7 +128,7 @@ object SimKernels {
       j += 1
     }
     i = 0
-    while (i < m) { peq(p(pOff + i) & 0xff) = 0L; i += 1 }
+    while (i < m) { peq(bt(p, pOff, i) & 0xff) = 0L; i += 1 }
     score
   }
 
@@ -116,8 +138,8 @@ object SimKernels {
     * above it cannot influence, and its inter-block carry-out has no
     * consumer.
     */
-  private def myersBlocks(p: Array[Byte], pOff: Int, m: Int,
-                          t: Array[Byte], tOff: Int, n: Int): Int = {
+  private def myersBlocks(p: AnyRef, pOff: Long, m: Int,
+                          t: AnyRef, tOff: Long, n: Int): Int = {
     val w = (m + 63) >>> 6
     var peq = peqScratch.get()
     if (peq.length < 256 * w) {
@@ -126,7 +148,7 @@ object SimKernels {
     }
     var i = 0
     while (i < m) {
-      peq((p(pOff + i) & 0xff) * w + (i >>> 6)) |= 1L << (i & 63)
+      peq((bt(p, pOff, i) & 0xff) * w + (i >>> 6)) |= 1L << (i & 63)
       i += 1
     }
     var vs = vpvnScratch.get()
@@ -141,7 +163,7 @@ object SimKernels {
     val lastMask = 1L << ((m - 1) & 63)
     var j = 0
     while (j < n) {
-      val c = (t(tOff + j) & 0xff) * w
+      val c = (bt(t, tOff, j) & 0xff) * w
       var hin = 1 // first-row boundary enters block 0 every column
       var b = 0
       while (b < w) {
@@ -173,7 +195,7 @@ object SimKernels {
     }
     i = 0
     while (i < m) {
-      peq((p(pOff + i) & 0xff) * w + (i >>> 6)) = 0L
+      peq((bt(p, pOff, i) & 0xff) * w + (i >>> 6)) = 0L
       i += 1
     }
     score
@@ -200,10 +222,12 @@ object SimKernels {
     if (!(isAscii(a) && isAscii(b))) {
       return JaroWinkler.similarity(a.toString, b.toString)
     }
-    val s1 = a.getBytes
-    val s2 = b.getBytes
-    val l1 = s1.length
-    val l2 = s2.length
+    val b1 = a.getBaseObject
+    val o1 = a.getBaseOffset
+    val b2 = b.getBaseObject
+    val o2 = b.getBaseOffset
+    val l1 = a.numBytes()
+    val l2 = b.numBytes()
     val matchWindow = math.max(0, math.max(l1, l2) / 2 - 1)
     var scratch = jwScratch.get()
     if (scratch.length < l1 + l2) {
@@ -233,7 +257,7 @@ object SimKernels {
         var j = start
         var done = false
         while (j < end && !done) {
-          if (!scratch(m2Off + j) && s1(i) == s2(j)) {
+          if (!scratch(m2Off + j) && bt(b1, o1, i) == bt(b2, o2, j)) {
             scratch(m1Off + i) = true
             scratch(m2Off + j) = true
             matches += 1
@@ -254,7 +278,7 @@ object SimKernels {
       }
       java.util.Arrays.fill(ints, 0, 257, 0)
       var j = 0
-      while (j < l2) { ints(OffBase + (s2(j) & 0xff) + 1) += 1; j += 1 }
+      while (j < l2) { ints(OffBase + (bt(b2, o2, j) & 0xff) + 1) += 1; j += 1 }
       var c = 0
       while (c < 256) {
         ints(OffBase + c + 1) += ints(OffBase + c)
@@ -263,7 +287,7 @@ object SimKernels {
       }
       j = 0
       while (j < l2) {
-        val ch = s2(j) & 0xff
+        val ch = bt(b2, o2, j) & 0xff
         ints(PosBase + ints(PtrBase + ch)) = j
         ints(PtrBase + ch) += 1
         j += 1
@@ -272,7 +296,7 @@ object SimKernels {
       while (c < 256) { ints(PtrBase + c) = ints(OffBase + c); c += 1 }
       var i = 0
       while (i < l1) {
-        val ch = s1(i) & 0xff
+        val ch = bt(b1, o1, i) & 0xff
         val start = i - matchWindow // may be negative; positions are >= 0
         val end = math.min(i + matchWindow + 1, l2)
         var k = ints(PtrBase + ch)
@@ -298,7 +322,7 @@ object SimKernels {
     while (i < l1) {
       if (scratch(m1Off + i)) {
         while (!scratch(m2Off + k)) k += 1
-        if (s1(i) != s2(k)) transpositions += 1
+        if (bt(b1, o1, i) != bt(b2, o2, k)) transpositions += 1
         k += 1
       }
       i += 1
@@ -308,7 +332,7 @@ object SimKernels {
     val jaro = ((m / l1) + (m / l2) + ((m - t) / m)) / 3.0
     var prefix = 0
     val maxPrefix = math.min(JaroWinkler.MaxPrefixLength, math.min(l1, l2))
-    while (prefix < maxPrefix && s1(prefix) == s2(prefix)) prefix += 1
+    while (prefix < maxPrefix && bt(b1, o1, prefix) == bt(b2, o2, prefix)) prefix += 1
     jaro + prefix * JaroWinkler.DefaultScalingFactor * (1.0 - jaro)
   }
 
@@ -327,11 +351,11 @@ object SimKernels {
   /** FNV-1a over the lowercased bytes of [from, to). 0 is reserved as the
     * empty-slot marker (remapped).
     */
-  private def tokenHash(bytes: Array[Byte], from: Int, to: Int): Long = {
+  private def tokenHash(base: AnyRef, off: Long, from: Int, to: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from
     while (i < to) {
-      h ^= lower(bytes(i)) & 0xffL
+      h ^= lower(bt(base, off, i)) & 0xffL
       h *= 0x100000001b3L
       i += 1
     }
@@ -375,16 +399,20 @@ object SimKernels {
     if (!(isAscii(a) && isAscii(b))) {
       return Jaccard.similarity(a.toString, b.toString)
     }
-    val ab = a.getBytes
-    val bb = b.getBytes
+    val aBase = a.getBaseObject
+    val aOff = a.getBaseOffset
+    val lenA = a.numBytes()
+    val bBase = b.getBaseObject
+    val bOff = b.getBaseOffset
+    val lenB = b.numBytes()
     // worst-case token counts to size the two tables (power of two, 2x)
     def capFor(len: Int): Int = {
       var c = 16
       while (c < len + 2) c <<= 1
       c
     }
-    val capA = capFor(ab.length / 2 + 1)
-    val capB = capFor(bb.length / 2 + 1)
+    val capA = capFor(lenA / 2 + 1)
+    val capB = capFor(lenB / 2 + 1)
     var table = jacScratch.get()
     if (table.length < capA + capB) {
       table = new Array[Long](Integer.highestOneBit(capA + capB) * 2)
@@ -394,21 +422,21 @@ object SimKernels {
     }
     var sizeA = 0
     var i = 0
-    while (i < ab.length) {
-      while (i < ab.length && isJavaSpace(ab(i))) i += 1
+    while (i < lenA) {
+      while (i < lenA && isJavaSpace(bt(aBase, aOff, i))) i += 1
       val start = i
-      while (i < ab.length && !isJavaSpace(ab(i))) i += 1
-      if (i > start && insert(table, 0, capA, tokenHash(ab, start, i))) sizeA += 1
+      while (i < lenA && !isJavaSpace(bt(aBase, aOff, i))) i += 1
+      if (i > start && insert(table, 0, capA, tokenHash(aBase, aOff, start, i))) sizeA += 1
     }
     var sizeB = 0
     var inter = 0
     i = 0
-    while (i < bb.length) {
-      while (i < bb.length && isJavaSpace(bb(i))) i += 1
+    while (i < lenB) {
+      while (i < lenB && isJavaSpace(bt(bBase, bOff, i))) i += 1
       val start = i
-      while (i < bb.length && !isJavaSpace(bb(i))) i += 1
+      while (i < lenB && !isJavaSpace(bt(bBase, bOff, i))) i += 1
       if (i > start) {
-        val h = tokenHash(bb, start, i)
+        val h = tokenHash(bBase, bOff, start, i)
         if (insert(table, capA, capB, h)) {
           sizeB += 1
           if (contains(table, 0, capA, h)) inter += 1

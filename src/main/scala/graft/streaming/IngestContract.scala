@@ -17,9 +17,18 @@ private[streaming] object IngestContract {
 
   /** Detect duplicated ids: one batch-sized groupBy for intra-batch
     * repeats, plus one semi-join of the corpus id column against the
-    * BROADCAST batch ids (batch-sized by definition — the corpus side
-    * is scanned once, map-side, no shuffle; same order of work as the
-    * jobs' increment joins).
+    * batch ids — broadcast when the batch is small (the corpus side is
+    * then scanned once, map-side, no shuffle; same order of work as the
+    * jobs' increment joins), shuffle join otherwise.
+    *
+    * The broadcast is SIZE-GATED, not mandatory: under the default
+    * availableNow trigger the whole backlog arrives as ONE batch, so an
+    * initial bulk load's "batch" is corpus-sized — an unconditional
+    * broadcast hint would ship a corpus-sized hash relation into every
+    * task (driver/executor OOM, and Spark hard-caps broadcasts at 8 GB).
+    * The id count is measured first (one batch-sized count job); above
+    * `broadcastMaxIds` no hint is given and the optimizer plans the
+    * sort-merge join a bulk load actually wants.
     *
     * `batchIds` must be ONE ROW PER INGESTED DOC (the raw batch ids,
     * not an exploded key table). Returns the ids to EXCLUDE from the
@@ -32,7 +41,8 @@ private[streaming] object IngestContract {
     */
   def duplicateIdGuard(batchIds: DataFrame, corpusIds: Option[DataFrame],
                        mode: String, batchId: Long,
-                       job: String): Option[DataFrame] = {
+                       job: String,
+                       broadcastMaxIds: Long = 4000000L): Option[DataFrame] = {
     require(Set("fail", "drop", "allow")(mode),
       s"on-duplicate mode must be fail, drop or allow, got $mode")
     if (mode == "allow") return None
@@ -40,10 +50,14 @@ private[streaming] object IngestContract {
       .where(col("__n") > 1).select("doc_id")
     val dupIds = corpusIds match {
       case None => intra
-      case Some(c) => c.select("doc_id")
-        .join(broadcast(batchIds.select("doc_id").distinct()),
-          Seq("doc_id"), "left_semi")
-        .unionByName(intra).distinct()
+      case Some(c) =>
+        val distinctBatch = batchIds.select("doc_id").distinct()
+        val probe =
+          if (distinctBatch.count() <= broadcastMaxIds) broadcast(distinctBatch)
+          else distinctBatch
+        c.select("doc_id")
+          .join(probe, Seq("doc_id"), "left_semi")
+          .unionByName(intra).distinct()
     }
     val n = dupIds.count()
     if (n == 0) None

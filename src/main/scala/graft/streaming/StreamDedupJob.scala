@@ -127,6 +127,28 @@ object StreamDedupJob {
     }
   }
 
+  /** Every id ever DELIVERED to this state (one row per id per ingesting
+    * batch) — the duplicate-id guard's corpus side. Unlike the key
+    * table, it covers docs whose text yields no band key (null/empty):
+    * the uniqueness contract is on the ingest, not on what survives
+    * keying. Units written before the ids ledger existed fall back to
+    * their keys' doc_ids — the keyless-doc gap in those units is not
+    * recoverable (it was never recorded) and closes at their next
+    * compaction.
+    */
+  private def corpusIngestedIds(spark: SparkSession, stateRoot: String,
+                                units: Seq[(Long, String)]): Option[DataFrame] = {
+    if (units.isEmpty) return None
+    val fs = VersionedState.fsOf(spark, stateRoot)
+    val (withIds, legacy) = units.partition { case (_, d) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/ids"))
+    }
+    val parts = VersionedState.readTableFrom(spark, withIds, "ids").toSeq ++
+      VersionedState.readTableFrom(spark, legacy, "keys")
+        .map(_.select("doc_id").distinct())
+    parts.reduceOption(_.unionByName(_))
+  }
+
   /** The shared per-batch commit skeleton: replay skip, algo guard,
     * duplicate-id enforcement ([[IngestContract]]), increment, delta
     * write (batch-sized tables ONLY), commit marker, compaction. The
@@ -148,43 +170,50 @@ object StreamDedupJob {
     algoGuard(spark, stateRoot, units, algo)
     def readT(t: String) = VersionedState.readTableFrom(spark, units, t)
 
+    // the guard checks EVERY ingested id (the raw batch, one row per
+    // doc — the key table has many rows per doc and would miscount
+    // intra-batch repeats), including null-text docs that never get a
+    // band key: the uniqueness contract is on the ingest, not on what
+    // survives keying. Its corpus side is the persisted ingested-ids
+    // table (below) — checking the KEY table alone would let a
+    // cross-batch re-delivery of a keyless doc through undetected.
+    // Dropped ids are logged, not stored as rejects — unlike the
+    // resolve job there is no rejects table here; the dedup state
+    // carries content state plus this minimal id ledger.
+    val drop = IngestContract
+      .duplicateIdGuard(batch.select(col(idCol).as("doc_id")),
+        corpusIngestedIds(spark, stateRoot, units), onDuplicate, batchId,
+        "stream-dedup")
+    def minus(df: DataFrame) =
+      drop.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
+    // the delta's id ledger records every id the batch DELIVERED —
+    // including ids the guard excluded (within-batch repeats have no
+    // "first" copy and enter no content state, but a LATER re-delivery
+    // of such an id must still be flagged, matching the resolve job's
+    // DUPLICATE_ID rejects semantics)
+    val deliveredIds = batch.select(col(idCol).as("doc_id")).distinct()
+
     // persist (not localCheckpoint): the batch tables are read 2-4 times
     // within this micro-batch and must release their storage at the end
     // — a long-running stream would otherwise accumulate pinned blocks
     val (tables, pairs) =
       if (algo == "simhash") {
-        val keys0 = Dedup.simhashState(batch, idCol, textCol)
         val corpusKeys = readT("keys")
-        // the guard checks EVERY ingested id (the raw batch, one row per
-        // doc — the key table has many rows per doc and would miscount
-        // intra-batch repeats), including null-text docs that never
-        // enter state: the uniqueness contract is on the ingest, not on
-        // what survives keying. Dropped ids are logged, not stored —
-        // unlike the resolve job there is no rejects table here; the
-        // dedup state carries content state only.
-        val keys = IngestContract
-          .duplicateIdGuard(batch.select(col(idCol).as("doc_id")),
-            corpusKeys, onDuplicate, batchId, "stream-dedup")
-          .map(dup => keys0.join(dup, Seq("doc_id"), "left_anti"))
-          .getOrElse(keys0).persist()
+        val keys = minus(Dedup.simhashState(batch, idCol, textCol)).persist()
         val inc = Dedup.incrementFromSimhashKeys(keys,
           corpusKeys.getOrElse(keys.limit(0)), maxHamming, maxBlockSize)
-        (Seq("keys" -> keys), inc.pairs)
+        (Seq("keys" -> keys, "ids" -> deliveredIds), inc.pairs)
       } else {
         val raw = Dedup.minhashState(batch, idCol, textCol)
         val corpusKeys = readT("keys")
         val corpus = Dedup.NearDupState(
           corpusKeys.getOrElse(raw.keys.limit(0)),
           readT("shingles").getOrElse(raw.shingles.limit(0)))
-        val drop = IngestContract
-          .duplicateIdGuard(batch.select(col(idCol).as("doc_id")),
-            corpusKeys, onDuplicate, batchId, "stream-dedup")
-        def minus(df: DataFrame) =
-          drop.map(d => df.join(d, Seq("doc_id"), "left_anti")).getOrElse(df)
         val st = Dedup.NearDupState(
           minus(raw.keys).persist(), minus(raw.shingles).persist())
         val inc = Dedup.incrementFromState(st, corpus, threshold, maxBlockSize)
-        (Seq("keys" -> st.keys, "shingles" -> st.shingles), inc.pairs)
+        (Seq("keys" -> st.keys, "shingles" -> st.shingles,
+          "ids" -> deliveredIds), inc.pairs)
       }
     try {
       val out = s"$stateRoot/d=$batchId"
@@ -214,8 +243,13 @@ object StreamDedupJob {
     if (preView.liveDeltaIds.size + 1 < compactEvery) return
     val units = preView.units(stateRoot) :+ (upto -> s"$stateRoot/d=$upto")
     tables.foreach { t =>
-      VersionedState.readTableFrom(spark, units, t).get
-        .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/base=$upto/$t")
+      // the ids ledger needs the legacy-unit fallback (pre-ids units
+      // lack the table); compacting through it is what CLOSES the
+      // legacy keys-only gap for all future batches
+      val df =
+        if (t == "ids") corpusIngestedIds(spark, stateRoot, units).get
+        else VersionedState.readTableFrom(spark, units, t).get
+      df.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/base=$upto/$t")
     }
     VersionedState.commitBase(spark, stateRoot, upto)
   }

@@ -120,8 +120,16 @@ object StreamResolveJob {
       spark.read.parquet(s"$dir/clusters")
         .select(col("doc_id"), col("cluster_id"), lit(id).as("__b"))
     }.reduce(_.unionByName(_))
+    // argmax on (__b, cluster_id), not __b alone: under --on-duplicate
+    // allow two rows can share the same unit id, and an argmax on a tied
+    // key is whichever row the aggregate saw last — nondeterministic
+    // across runs/partitionings. The struct tiebreak makes the merged
+    // view a pure function of the state (max cluster_id among the
+    // latest-unit rows), stable even when the uniqueness contract is
+    // waived.
     all.groupBy("doc_id")
-      .agg(max_by(col("cluster_id"), col("__b")).as("cluster_id"))
+      .agg(max_by(col("cluster_id"), struct(col("__b"), col("cluster_id")))
+        .as("cluster_id"))
   }
 
   /** A table from the latest legacy `v=` snapshot — the reader fallback
@@ -248,9 +256,21 @@ object StreamResolveJob {
     val corpusNames = VersionedState.readTableFrom(spark, units, "names")
     // the unique-id contract is checked over EVERY ingested doc (valid
     // or not) — an id delivered twice in one batch is a duplicate even
-    // when one copy is invalid
+    // when one copy is invalid. The corpus side is names ∪ rejects ids:
+    // an id ingested but REJECTED in an earlier batch (invalid name,
+    // DUPLICATE_ID) is absent from names, and checking names alone would
+    // let its cross-batch re-delivery through — the same doc_id would
+    // then sit in both cumulative rejects and clusters, breaking the
+    // ingested == clustered + rejected reconciliation. Every accepted id
+    // lands in exactly one of the two tables, so the union IS the full
+    // ingested-id set.
+    val corpusGuardIds = (
+      corpusNames.map(_.select("doc_id")) ++
+        VersionedState.readTableFrom(spark, units, "rejects")
+          .map(_.select("doc_id"))
+      ).reduceOption(_.unionByName(_))
     val dup = IngestContract.duplicateIdGuard(named.select(col("doc_id")),
-      corpusNames, onDuplicate, batchId, "stream-resolve")
+      corpusGuardIds, onDuplicate, batchId, "stream-resolve")
     val newNames = dup
       .map(d => rawNames.join(d, Seq("doc_id"), "left_anti"))
       .getOrElse(rawNames).persist()

@@ -111,4 +111,46 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
     assert(sim == Set((4L, 5L)), s"got $sim")
   }
+
+  test("verify-payload cap: huge docs verify via the bottom-k sketch, within its error bound") {
+    // two ~30k-char docs sharing ~80% of their text: uncapped shingle
+    // sets would put ~30k longs on each side of every candidate pair.
+    // With the cap, state carries at most maxShingles longs per doc and
+    // the pair verifies with the bottom-k estimator — whose answer must
+    // sit within a few sigma (sqrt(J(1-J)/K)) of the exact Jaccard.
+    val rng = new scala.util.Random(7)
+    def words(n: Int) =
+      Seq.fill(n)((0 until 6).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val shared = words(4000).mkString(" ")
+    val docA = shared + " " + words(500).mkString(" ")
+    val docB = shared + " " + words(500).mkString(" ")
+    val big = Seq((1L, docA), (2L, docB),
+      (3L, "tiny unrelated doc"), (4L, "tiny unrelated doc")).toDF("doc_id", "text")
+
+    // exact J from effectively-uncapped sets
+    val exact = Dedup.minhashNearDups(big, "doc_id", "text", threshold = 0.5,
+      maxShingles = 1 << 20)
+      .where(col("doc_id_a") === 1L && col("doc_id_b") === 2L)
+      .select("jaccard").as[Double].collect().head
+
+    val k = 2048
+    val capped = Dedup.minhashNearDups(big, "doc_id", "text", threshold = 0.5,
+      maxShingles = k)
+    // state payload really is capped, and the true count stays visible
+    val sketchSizes = Dedup.minhashState(big, "doc_id", "text", maxShingles = k)
+      .shingles.select(size(col("__s")).as("sz"), col("__n"))
+      .where(col("__n") > k).as[(Int, Int)].collect()
+    assert(sketchSizes.nonEmpty && sketchSizes.forall(_._1 == k),
+      s"capped docs must store exactly k hashes; got ${sketchSizes.toSeq}")
+    val est = capped.where(col("doc_id_a") === 1L && col("doc_id_b") === 2L)
+      .select("jaccard").as[Double].collect().head
+    val sigma = math.sqrt(exact * (1 - exact) / k)
+    assert(math.abs(est - exact) <= 5 * sigma,
+      s"bottom-k estimate $est vs exact $exact (5 sigma = ${5 * sigma})")
+    // small docs keep the exact path: their pair scores 1.0 exactly
+    val smallPair = capped
+      .where(col("doc_id_a") === 3L && col("doc_id_b") === 4L)
+      .select("jaccard").as[Double].collect()
+    assert(smallPair.sameElements(Array(1.0)))
+  }
 }

@@ -165,6 +165,91 @@ class StreamDedupJobSpec extends AnyFunSuite {
     assert(statePairs(state) == full)
   }
 
+  test("a KEYLESS (null/empty-text) doc id is still guarded across batches") {
+    // a null-text doc enters no key/shingle state — the guard's corpus
+    // side is the persisted ids ledger, not the key table, so its
+    // cross-batch re-delivery is flagged rather than slipping through
+    val state = tmp("sdj-keyless")
+    val b0 = mkDocs(0 until 5)
+      .unionByName(Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    StreamDedupJob.attachBatch(spark, state, b0, batchId = 0L, threshold = 0.4)
+    assert(!StreamDedupJob.readStateTable(spark, state, "keys").get
+      .select("doc_id").as[Long].collect().contains(100L),
+      "keyless doc must not enter content state")
+    assert(spark.read.parquet(s"$state/d=0/ids")
+      .as[Long].collect().toSet == (0L until 5L).toSet + 100L,
+      "the ids ledger must record every delivered id, keyed or not")
+    val e = intercept[IllegalStateException] {
+      StreamDedupJob.attachBatch(spark, state,
+        mkDocs(200 until 203)
+          .unionByName(Seq((100L, "now it has text")).toDF("doc_id", "text")),
+        batchId = 1L, threshold = 0.4)
+    }
+    assert(e.getMessage.contains("re-delivers 1 doc_id"))
+    // drop mode: first-write-wins — the re-delivered content never lands
+    StreamDedupJob.attachBatch(spark, state,
+      mkDocs(200 until 203)
+        .unionByName(Seq((100L, "now it has text")).toDF("doc_id", "text")),
+      batchId = 1L, threshold = 0.4, onDuplicate = "drop")
+    assert(!StreamDedupJob.readStateTable(spark, state, "keys").get
+      .select("doc_id").as[Long].collect().contains(100L))
+  }
+
+  test("pre-ids-ledger state units fall back to their keys table; compaction closes the gap") {
+    val state = tmp("sdj-noids")
+    StreamDedupJob.attachBatch(spark, state, mkDocs(0 until 10), batchId = 0L,
+      threshold = 0.4, compactEvery = 0)
+    // simulate a unit written by the pre-ledger engine
+    VersionedState.fsOf(spark, state)
+      .delete(new org.apache.hadoop.fs.Path(s"$state/d=0/ids"), true)
+    // keyed ids are still guarded via the keys fallback
+    val e = intercept[IllegalStateException] {
+      StreamDedupJob.attachBatch(spark, state, mkDocs(5 until 8), batchId = 1L,
+        threshold = 0.4)
+    }
+    assert(e.getMessage.contains("re-delivers 3 doc_id"))
+    // a compaction folds the fallback into a real ids table
+    StreamDedupJob.attachBatch(spark, state, mkDocs(10 until 15), batchId = 1L,
+      threshold = 0.4, compactEvery = 2)
+    assert(VersionedState.latestBase(spark, state) == 1L)
+    assert(spark.read.parquet(s"$state/base=1/ids")
+      .as[Long].collect().toSet == (0L until 15L).toSet)
+  }
+
+  test("streamed replay after a kill between delta write and checkpoint commit is exactly-once") {
+    val in = tmp("sdj-kill-in"); val state = tmp("sdj-kill-state")
+    val ckpt = tmp("sdj-kill-ckpt")
+    mkDocs(0 until 25).coalesce(1).write.mode("append").parquet(in)
+    mkDocs(25 until 40).coalesce(1).write.mode("append").parquet(in)
+    val q = StreamDedupJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "threshold" -> "0.4", "max-files-per-trigger" -> "1"))
+    q.awaitTermination()
+    val deltas = VersionedState.committedDeltas(spark, state)
+    assert(deltas.size >= 2)
+    val clean = statePairs(state)
+    // rewind to the kill point: the last delta's marker and its
+    // Structured Streaming commit record both gone (the kill landed
+    // inside foreachBatch, before either was finalized)
+    val last = deltas.last
+    val fs = VersionedState.fsOf(spark, state)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/d=$last/_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/$last"), false)
+    assert(statePairs(state).size < clean.size,
+      "uncommitted delta must be invisible after the simulated kill")
+    val q2 = StreamDedupJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "threshold" -> "0.4", "max-files-per-trigger" -> "1"))
+    q2.awaitTermination()
+    assert(statePairs(state) == clean,
+      "replayed batch must rebuild the identical pair state")
+    // the maintained invariant holds through the crash-replay
+    val full = Dedup.minhashNearDups(mkDocs(0 until 40), "doc_id", "text",
+      threshold = 0.4)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(statePairs(state) == full)
+  }
+
   test("simhash mode: streamed batches == full-batch simhash recompute; algo mismatch refuses") {
     val in = tmp("sdj-sh-in"); val state = tmp("sdj-sh-state"); val ckpt = tmp("sdj-sh-ckpt")
     mkDocs(0 until 25).coalesce(1).write.mode("append").parquet(in)

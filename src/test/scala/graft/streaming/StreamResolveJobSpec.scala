@@ -267,6 +267,104 @@ class StreamResolveJobSpec extends AnyFunSuite {
     assert(StreamResolveJob.stateTable(spark, state, "rejects").get.count() == 1)
   }
 
+  test("an id REJECTED in an earlier batch is still a duplicate on re-delivery") {
+    // rejected ids are absent from the names table — the guard must
+    // check names ∪ rejects or a re-delivered rejected id would land in
+    // clusters AND (cumulatively) rejects, breaking reconciliation
+    val state = tmp("sjob-rejdup")
+    val good = corpus(5, seed = 41L)
+    val nameless = good.limit(1)
+      .select(lit("s41-ghost").as("doc_id"),
+        filter(col("spans"), s => s.getField("kind") =!= "text").as("spans"))
+    StreamResolveJob.attachBatch(spark, state, good.unionByName(nameless), batchId = 0L)
+    assert(StreamResolveJob.stateTable(spark, state, "rejects").get
+      .select("doc_id").collect().map(_.getString(0)).toSet == Set("s41-ghost"))
+    // batch 1 re-delivers the rejected id, now with a VALID name
+    val e = intercept[IllegalStateException] {
+      StreamResolveJob.attachBatch(spark, state,
+        docsDF(nameDoc("s41-ghost", "acme corporation")), batchId = 1L)
+    }
+    assert(e.getMessage.contains("re-delivers 1 doc_id"))
+    // drop mode: the re-delivery is excluded and recorded; the id never
+    // reaches clusters
+    StreamResolveJob.attachBatch(spark, state,
+      docsDF(nameDoc("s41-ghost", "acme corporation")), batchId = 1L,
+      onDuplicate = "drop")
+    assert(!stateClusters(state).exists(_._1 == "s41-ghost"))
+    val rej = StreamResolveJob.stateTable(spark, state, "rejects").get
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[String]("reject_reason"), r.getAs[Long]("batch_id"))).toSet
+    assert(rej == Set(("s41-ghost", "blank", 0L), ("s41-ghost", "DUPLICATE_ID", 1L)))
+  }
+
+  test("--on-duplicate allow with a same-id collision: merged view is deterministic") {
+    // uniqueness waived: the same doc_id can end up with two
+    // same-recency assignment rows. The merge's argmax key is
+    // (unit, cluster_id), so the winner is a pure function of the state
+    // — NOT whichever row the aggregate saw last. Exercise the tie
+    // directly: a hand-written delta carrying duplicate rows for x-1.
+    val state = tmp("sjob-allowtie")
+    import spark.implicits._
+    Seq(("x-1", "a-0"), ("x-1", "x-1"), ("a-0", "a-0"))
+      .toDF("doc_id", "cluster_id").repartition(3)
+      .write.parquet(s"$state/d=0/clusters")
+    Seq(("x-1", "acme corporation"), ("a-0", "zeta corp"))
+      .toDF("doc_id", "normalized").write.parquet(s"$state/d=0/names")
+    VersionedState.commitDelta(spark, state, 0L)
+    val views = (1 to 4).map(_ => StreamResolveJob
+      .currentClusters(spark, state).get
+      .where(col("doc_id") === "x-1").collect().map(_.getString(1)).toSeq)
+    assert(views.forall(_.length == 1), s"one merged row per doc_id; got $views")
+    assert(views.distinct.size == 1, s"merged view must be stable; got $views")
+    assert(views.head.head == "x-1",
+      "tiebreak = max cluster_id among the latest unit's rows")
+    // end-to-end: an allow-mode intra-batch collision still yields ONE
+    // stable assignment row per doc_id
+    val state2 = tmp("sjob-allowtie2")
+    StreamResolveJob.attachBatch(spark, state2, docsDF(
+      nameDoc("x-1", "acme corporation"),
+      nameDoc("x-1", "zeta corp"),
+      nameDoc("a-0", "zeta corp")), batchId = 0L, onDuplicate = "allow")
+    val e2e = (1 to 3).map(_ => StreamResolveJob
+      .currentClusters(spark, state2).get
+      .where(col("doc_id") === "x-1").collect().map(_.getString(1)).toSeq)
+    assert(e2e.forall(_.length == 1) && e2e.distinct.size == 1,
+      s"allow-mode merged view must be stable; got $e2e")
+  }
+
+  test("streamed replay after a kill between delta write and checkpoint commit is exactly-once") {
+    // foreachBatch-level crash: the delta parquet was written but the
+    // kill landed before the _COMMITTED marker AND before Structured
+    // Streaming recorded the batch in <ckpt>/commits. On restart the
+    // engine replays the SAME batchId from its offsets log; attachBatch
+    // must recompute, overwrite the torn delta and commit — final state
+    // identical to an uninterrupted run.
+    val in = tmp("sjob-kill-in"); val state = tmp("sjob-kill-state")
+    val ckpt = tmp("sjob-kill-ckpt")
+    corpus(20, seed = 51L).coalesce(1).write.mode("append").parquet(in)
+    corpus(20, seed = 52L).coalesce(1).write.mode("append").parquet(in)
+    val q = StreamResolveJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "max-files-per-trigger" -> "1"))
+    q.awaitTermination()
+    val deltas = VersionedState.committedDeltas(spark, state)
+    assert(deltas.size >= 2)
+    val clean = stateClusters(state)
+    // rewind to the kill point: last batch's marker and its SS commit gone
+    val last = deltas.last
+    val fs = VersionedState.fsOf(spark, state)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/d=$last/_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/$last"), false)
+    assert(stateClusters(state).length < clean.length,
+      "uncommitted delta must be invisible after the simulated kill")
+    val q2 = StreamResolveJob.start(spark, Map(
+      "input" -> in, "state" -> state, "checkpoint" -> ckpt,
+      "max-files-per-trigger" -> "1"))
+    q2.awaitTermination()
+    assert(stateClusters(state).sameElements(clean),
+      "replayed batch must rebuild the identical state")
+  }
+
   test("crash mid-write: an uncommitted delta dir is invisible and the replay overwrites it") {
     val state = tmp("sjob-state3")
     val b1 = corpus(20, seed = 11L)
