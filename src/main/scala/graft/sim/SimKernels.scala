@@ -203,8 +203,27 @@ object SimKernels {
 
   // ----------------------------------------------------------------- jw
 
-  private val jwScratch = new ThreadLocal[Array[Boolean]] {
-    override def initialValue(): Array[Boolean] = new Array[Boolean](4096)
+  /** Match-flag arrays with generation stamps (flag set iff the entry
+    * equals the live generation): avoids the per-call Arrays.fill of
+    * l1+l2 flags — ~1 KB of zeroing per pair on long names, pure
+    * memory-bandwidth burn that multiplies with threads. Wraps by
+    * re-zeroing once every 2^31 calls.
+    */
+  private final class JwFlags {
+    var flags: Array[Int] = new Array[Int](4096)
+    var gen: Int = 0
+    def next(minLen: Int): Unit = {
+      if (flags.length < minLen) {
+        flags = new Array[Int](Integer.highestOneBit(minLen) * 2)
+        gen = 0
+      }
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(flags, 0); gen = 0 }
+      gen += 1
+    }
+  }
+
+  private val jwScratch = new ThreadLocal[JwFlags] {
+    override def initialValue(): JwFlags = new JwFlags
   }
 
   /** Per-char position index for the long-string match phase: 257
@@ -229,13 +248,10 @@ object SimKernels {
     val l1 = a.numBytes()
     val l2 = b.numBytes()
     val matchWindow = math.max(0, math.max(l1, l2) / 2 - 1)
-    var scratch = jwScratch.get()
-    if (scratch.length < l1 + l2) {
-      scratch = new Array[Boolean](Integer.highestOneBit(l1 + l2) * 2)
-      jwScratch.set(scratch)
-    } else {
-      java.util.Arrays.fill(scratch, 0, l1 + l2, false)
-    }
+    val jw = jwScratch.get()
+    jw.next(l1 + l2)
+    val scratch = jw.flags
+    val gen = jw.gen
     val m1Off = 0
     val m2Off = l1
     var matches = 0
@@ -257,9 +273,9 @@ object SimKernels {
         var j = start
         var done = false
         while (j < end && !done) {
-          if (!scratch(m2Off + j) && bt(b1, o1, i) == bt(b2, o2, j)) {
-            scratch(m1Off + i) = true
-            scratch(m2Off + j) = true
+          if (scratch(m2Off + j) != gen && bt(b1, o1, i) == bt(b2, o2, j)) {
+            scratch(m1Off + i) = gen
+            scratch(m2Off + j) = gen
             matches += 1
             done = true
           }
@@ -306,8 +322,8 @@ object SimKernels {
         if (k < kEnd) {
           val pj = ints(PosBase + k)
           if (pj < end) {
-            scratch(m1Off + i) = true
-            scratch(m2Off + pj) = true
+            scratch(m1Off + i) = gen
+            scratch(m2Off + pj) = gen
             matches += 1
             ints(PtrBase + ch) = k + 1
           }
@@ -320,8 +336,8 @@ object SimKernels {
     var k = 0
     var i = 0
     while (i < l1) {
-      if (scratch(m1Off + i)) {
-        while (!scratch(m2Off + k)) k += 1
+      if (scratch(m1Off + i) == gen) {
+        while (scratch(m2Off + k) != gen) k += 1
         if (bt(b1, o1, i) != bt(b2, o2, k)) transpositions += 1
         k += 1
       }
@@ -338,8 +354,34 @@ object SimKernels {
 
   // ------------------------------------------------------------ jaccard
 
-  private val jacScratch = new ThreadLocal[Array[Long]] {
-    override def initialValue(): Array[Long] = new Array[Long](512)
+  /** Open-addressed token tables with GENERATION STAMPS instead of
+    * per-call zeroing: a slot is live iff its stamp equals the current
+    * call's generation, so the per-pair cost is the ~tokens-inserted
+    * writes, not an Arrays.fill of the whole table (8 KB per pair on
+    * ~450-char names — pure memory-bandwidth burn that multiplies with
+    * threads). The stamp array wraps by re-zeroing once every 2^31
+    * generations.
+    */
+  private final class JacTable {
+    var values: Array[Long] = new Array[Long](512)
+    var stamps: Array[Int] = new Array[Int](512)
+    var gen: Int = 0
+    def next(minCap: Int): Unit = {
+      if (values.length < minCap) {
+        values = new Array[Long](Integer.highestOneBit(minCap) * 2)
+        stamps = new Array[Int](values.length)
+        gen = 0
+      }
+      if (gen == Int.MaxValue) {
+        java.util.Arrays.fill(stamps, 0)
+        gen = 0
+      }
+      gen += 1
+    }
+  }
+
+  private val jacScratch = new ThreadLocal[JacTable] {
+    override def initialValue(): JacTable = new JacTable
   }
 
   private def isJavaSpace(c: Byte): Boolean =
@@ -362,26 +404,29 @@ object SimKernels {
     if (h == 0L) 0x9e3779b97f4a7c15L else h
   }
 
-  /** Insert into an open-addressed set stored in `table[off, off+cap)`.
+  /** Insert into the stamped open-addressed set in `t[off, off+cap)`.
+    * A slot is empty unless its stamp equals the live generation.
     * Returns true if newly inserted.
     */
-  private def insert(table: Array[Long], off: Int, cap: Int, h: Long): Boolean = {
+  private def insert(t: JacTable, off: Int, cap: Int, h: Long): Boolean = {
     var idx = ((h ^ (h >>> 32)).toInt & (cap - 1))
     while (true) {
-      val cur = table(off + idx)
-      if (cur == 0L) { table(off + idx) = h; return true }
-      if (cur == h) return false
+      if (t.stamps(off + idx) != t.gen) {
+        t.values(off + idx) = h
+        t.stamps(off + idx) = t.gen
+        return true
+      }
+      if (t.values(off + idx) == h) return false
       idx = (idx + 1) & (cap - 1)
     }
     false
   }
 
-  private def contains(table: Array[Long], off: Int, cap: Int, h: Long): Boolean = {
+  private def contains(t: JacTable, off: Int, cap: Int, h: Long): Boolean = {
     var idx = ((h ^ (h >>> 32)).toInt & (cap - 1))
     while (true) {
-      val cur = table(off + idx)
-      if (cur == 0L) return false
-      if (cur == h) return true
+      if (t.stamps(off + idx) != t.gen) return false
+      if (t.values(off + idx) == h) return true
       idx = (idx + 1) & (cap - 1)
     }
     false
@@ -413,13 +458,8 @@ object SimKernels {
     }
     val capA = capFor(lenA / 2 + 1)
     val capB = capFor(lenB / 2 + 1)
-    var table = jacScratch.get()
-    if (table.length < capA + capB) {
-      table = new Array[Long](Integer.highestOneBit(capA + capB) * 2)
-      jacScratch.set(table)
-    } else {
-      java.util.Arrays.fill(table, 0, capA + capB, 0L)
-    }
+    val table = jacScratch.get()
+    table.next(capA + capB)
     var sizeA = 0
     var i = 0
     while (i < lenA) {
