@@ -43,26 +43,91 @@ case class NormalizeExpr(child: Expression, entityType: Option[String])
     Normalizer.rulesFor(entityType)
       .map(r => (Pattern.compile("(?i)" + r.pattern), r.replacement)).toArray
 
+  @transient private lazy val guards: Array[NormGuard] =
+    Normalizer.rulesFor(entityType).map(_.guard).toArray
+
+  /** Per-thread reusable Matchers (Matcher is not thread-safe; one array
+    * per executor thread, reset per row). Cuts one Matcher allocation per
+    * rule per row from the hot normalize stage.
+    */
+  @transient private lazy val matchers: ThreadLocal[Array[java.util.regex.Matcher]] =
+    ThreadLocal.withInitial(() => compiledRules.map(_._1.matcher("")))
+
   @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
 
-  /** Kernel, invoked from both eval and generated code. */
+  /** Kernel, invoked from both eval and generated code.
+    *
+    * Hot-path shape (the normalize stage's task-CPU inflates ~1.5x from
+    * 1 to 4 threads when every rule allocates a Matcher + scans — pure
+    * allocation/memory pressure, measured): each rule first runs its
+    * allocation-free [[NormGuard]] necessary-condition check and is
+    * skipped outright when it provably cannot match; rules that may
+    * match reuse a per-thread Matcher. The final
+    * lower+collapse+trim cleanup is fused into one pass with a single
+    * byte[] allocation when the string is pure ASCII (the overwhelming
+    * case), falling back to the original UTF8String round trip
+    * otherwise. Equivalence to the built-in regexp_replace chain is
+    * property-tested (NormalizerSpec).
+    */
   def normalizeKernel(s: UTF8String): UTF8String = {
     if (s == null) return UTF8String.EMPTY_UTF8
     var r = s.toString
     val rules = compiledRules
+    val gs = guards
+    val ms = matchers.get()
     var i = 0
     while (i < rules.length) {
-      r = rules(i)._1.matcher(r).replaceAll(rules(i)._2)
+      if (gs(i).mayMatch(r)) {
+        val m = ms(i)
+        m.reset(r)
+        r = m.replaceAll(rules(i)._2)
+      }
       i += 1
     }
-    // lower with Spark's own semantics, then collapse, then space-trim
-    r = UTF8String.fromString(r).toLowerCase.toString
-    r = ws.matcher(r).replaceAll(" ")
-    var from = 0
-    var to = r.length
-    while (from < to && r.charAt(from) == ' ') from += 1
-    while (to > from && r.charAt(to - 1) == ' ') to -= 1
-    UTF8String.fromString(r.substring(from, to))
+    asciiCleanup(r)
+  }
+
+  /** lower + collapse-\s+ + trim-' ' in one pass, one allocation, for
+    * pure-ASCII input; exact original path otherwise. The ASCII branch
+    * is byte-for-byte equivalent: UTF8String.toLowerCase on ASCII maps
+    * 'A'..'Z' (+32) only, java-regex \s is exactly [ \t\n\x0B\f\r], and
+    * post-collapse trim of ' ' equals dropping leading/trailing \s runs.
+    */
+  private def asciiCleanup(r: String): UTF8String = {
+    val n = r.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      if (r.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (!ascii) {
+      var t = UTF8String.fromString(r).toLowerCase.toString
+      t = ws.matcher(t).replaceAll(" ")
+      var from = 0
+      var to = t.length
+      while (from < to && t.charAt(from) == ' ') from += 1
+      while (to > from && t.charAt(to - 1) == ' ') to -= 1
+      return UTF8String.fromString(t.substring(from, to))
+    }
+    val out = new Array[Byte](n)
+    var len = 0
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val c = r.charAt(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (isWs) {
+        if (len > 0) pendingSpace = true // leading run drops (trim)
+      } else {
+        if (pendingSpace) { out(len) = ' '; len += 1; pendingSpace = false }
+        out(len) = (if (c >= 'A' && c <= 'Z') c + 32 else c).toByte
+        len += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, len)
   }
 
   override def eval(input: InternalRow): Any =

@@ -3,6 +3,124 @@ package graft.norm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+/** An O(1)/O(n) allocation-free necessary-condition test for one rule: when
+  * `mayMatch` returns false the rule's regex provably has no match, so the
+  * kernel skips the Matcher scan entirely. Guards are NEVER sufficient —
+  * a passing guard still runs the real regex — so they can only skip work,
+  * never change a result. Equivalence to the unguarded chain is pinned by
+  * NormalizerSpec's property test (random strings over a corner-case
+  * alphabet including line terminators and non-ASCII, all entity types).
+  */
+sealed trait NormGuard { def mayMatch(s: String): Boolean }
+
+object NormGuard {
+  /** No cheap necessary condition — always run the regex. */
+  case object Always extends NormGuard {
+    def mayMatch(s: String): Boolean = true
+  }
+
+  /** For `$`-anchored patterns whose match must END in one of `chars`
+    * (ASCII, lowercase). Java's non-MULTILINE `$` also matches just
+    * before one final line terminator, so a string ending in a
+    * terminator is conservatively never skipped.
+    */
+  final case class EndsIn(chars: String) extends NormGuard {
+    def mayMatch(s: String): Boolean = {
+      val n = s.length
+      if (n == 0) return false
+      val c = s.charAt(n - 1)
+      if (c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' ||
+        c == '\u2029') return true
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      chars.indexOf(lc.toInt) >= 0
+    }
+  }
+
+  /** For `^`-anchored patterns: first char must be `c` (lowercase given;
+    * ASCII case-insensitive compare, matching (?i)'s ASCII-only folding).
+    */
+  final case class StartsWithChar(c: Char) extends NormGuard {
+    def mayMatch(s: String): Boolean = {
+      if (s.isEmpty) return false
+      val f = s.charAt(0)
+      val lf = if (f >= 'A' && f <= 'Z') (f + 32).toChar else f
+      lf == c
+    }
+  }
+
+  /** Pattern requires a literal occurrence of `c` somewhere. */
+  final case class ContainsChar(c: Char) extends NormGuard {
+    def mayMatch(s: String): Boolean = s.indexOf(c.toInt) >= 0
+  }
+
+  /** Pattern requires a contiguous case-insensitive literal `w`
+    * (lowercase given; ASCII folding only, same as (?i)).
+    */
+  final case class ContainsWordCI(w: String) extends NormGuard {
+    def mayMatch(s: String): Boolean = {
+      val n = s.length
+      val m = w.length
+      var i = 0
+      while (i + m <= n) {
+        var j = 0
+        var ok = true
+        while (ok && j < m) {
+          val c = s.charAt(i + j)
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          ok = lc == w.charAt(j)
+          j += 1
+        }
+        if (ok) return true
+        i += 1
+      }
+      false
+    }
+  }
+
+  /** For `[^a-zA-Z0-9\s]`: any char outside alnum and java-regex \s
+    * (exactly [ \t\n\x0B\f\r] — NOT Unicode whitespace).
+    */
+  case object AnyNonAlnumSpace extends NormGuard {
+    def mayMatch(s: String): Boolean = {
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r'
+        if (!alnum && !ws) return true
+        i += 1
+      }
+      false
+    }
+  }
+
+  /** For `\s+` -> " ": replacement changes the string only when some \s
+    * char is not a plain space, or two spaces are adjacent (a lone ' '
+    * rewrites to ' ' — identity).
+    */
+  case object NeedsWsCollapse extends NormGuard {
+    def mayMatch(s: String): Boolean = {
+      var i = 0
+      val n = s.length
+      var prevSpace = false
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+          c == '\r') return true
+        if (c == ' ') {
+          if (prevSpace) return true
+          prevSpace = true
+        } else prevSpace = false
+        i += 1
+      }
+      false
+    }
+  }
+}
+
 /** One priority-ordered, case-insensitive regex rewrite rule.
   *
   * Semantics of the reference engine (rules/NormalizationRule.java:60-65,
@@ -14,13 +132,17 @@ import org.apache.spark.sql.functions._
   *
   * `entityTypes` empty => applies to all types
   * (rules/NormalizationRule.java appliesTo).
+  *
+  * `guard` is a pure skip-optimization (see [[NormGuard]]); it never
+  * affects the result.
   */
 final case class NormRule(
     name: String,
     priority: Int,
     pattern: String,
     replacement: String,
-    entityTypes: Set[String] = Set.empty) {
+    entityTypes: Set[String] = Set.empty,
+    guard: NormGuard = NormGuard.Always) {
   def appliesTo(entityType: Option[String]): Boolean =
     entityType.isEmpty || entityTypes.isEmpty || entityTypes.contains(entityType.get)
   lazy val compiled: java.util.regex.Pattern =
@@ -53,37 +175,59 @@ object Normalizer {
     * with `\s+` separators.
     */
   val companyRules: Seq[NormRule] = Seq(
-    NormRule("company-inc", 10, """,?\s*(Inc\.?|Incorporated)$""", "", Set(COMPANY)),
-    NormRule("company-ltd", 10, """,?\s*(Ltd\.?|Limited)$""", "", Set(COMPANY)),
-    NormRule("company-corp", 10, """,?\s*(Corp\.?|Corporation)$""", "", Set(COMPANY)),
-    NormRule("company-co", 10, """,?\s*(Co\.?|Company)$""", "", Set(COMPANY)),
-    NormRule("company-sa", 10, """,?\s*S\.?A\.?$""", "", Set(COMPANY)),
-    NormRule("company-llc", 10, """,?\s*(LLC|L\.L\.C\.)$""", "", Set(COMPANY)),
-    NormRule("company-plc", 10, """,?\s*(PLC|P\.L\.C\.)$""", "", Set(COMPANY)),
-    NormRule("company-gmbh", 10, """,?\s*GmbH$""", "", Set(COMPANY)),
-    NormRule("company-ag", 10, """,?\s*AG$""", "", Set(COMPANY)),
-    NormRule("company-nv", 10, """,?\s*N\.?V\.?$""", "", Set(COMPANY)),
-    NormRule("company-bv", 10, """,?\s*B\.?V\.?$""", "", Set(COMPANY)),
-    NormRule("company-the", 20, """^The\s+""", "", Set(COMPANY)),
+    NormRule("company-inc", 10, """,?\s*(Inc\.?|Incorporated)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("cd.")),
+    NormRule("company-ltd", 10, """,?\s*(Ltd\.?|Limited)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("d.")),
+    NormRule("company-corp", 10, """,?\s*(Corp\.?|Corporation)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("pn.")),
+    NormRule("company-co", 10, """,?\s*(Co\.?|Company)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("oy.")),
+    NormRule("company-sa", 10, """,?\s*S\.?A\.?$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("a.")),
+    NormRule("company-llc", 10, """,?\s*(LLC|L\.L\.C\.)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("c.")),
+    NormRule("company-plc", 10, """,?\s*(PLC|P\.L\.C\.)$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("c.")),
+    NormRule("company-gmbh", 10, """,?\s*GmbH$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("h")),
+    NormRule("company-ag", 10, """,?\s*AG$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("g")),
+    NormRule("company-nv", 10, """,?\s*N\.?V\.?$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("v.")),
+    NormRule("company-bv", 10, """,?\s*B\.?V\.?$""", "", Set(COMPANY),
+      guard = NormGuard.EndsIn("v.")),
+    NormRule("company-the", 20, """^The\s+""", "", Set(COMPANY),
+      guard = NormGuard.StartsWithChar('t')),
   )
 
   val commonRules: Seq[NormRule] = Seq(
     // NOTE insertion order matters within priority 50: "and" before "&"
     // (rules/DefaultNormalizationRules.java:145-178 list order after the
     // engine's stable priority sort).
-    NormRule("common-and", 50, """\s+and\s+""", " "),
-    NormRule("common-ampersand", 50, """\s*&\s*""", " "),
-    NormRule("common-special-chars", 100, """[^a-zA-Z0-9\s]""", " "),
-    NormRule("common-collapse-spaces", 200, """\s+""", " "),
+    NormRule("common-and", 50, """\s+and\s+""", " ",
+      guard = NormGuard.ContainsWordCI("and")),
+    NormRule("common-ampersand", 50, """\s*&\s*""", " ",
+      guard = NormGuard.ContainsChar('&')),
+    NormRule("common-special-chars", 100, """[^a-zA-Z0-9\s]""", " ",
+      guard = NormGuard.AnyNonAlnumSpace),
+    NormRule("common-collapse-spaces", 200, """\s+""", " ",
+      guard = NormGuard.NeedsWsCollapse),
   )
 
   val personRules: Seq[NormRule] = Seq(
-    NormRule("person-mr", 10, """^Mr\.?\s+""", "", Set(PERSON)),
-    NormRule("person-mrs", 10, """^Mrs\.?\s+""", "", Set(PERSON)),
-    NormRule("person-ms", 10, """^Ms\.?\s+""", "", Set(PERSON)),
-    NormRule("person-dr", 10, """^Dr\.?\s+""", "", Set(PERSON)),
-    NormRule("person-jr", 10, """,?\s+(Jr\.?|Junior)$""", "", Set(PERSON)),
-    NormRule("person-sr", 10, """,?\s+(Sr\.?|Senior)$""", "", Set(PERSON)),
+    NormRule("person-mr", 10, """^Mr\.?\s+""", "", Set(PERSON),
+      guard = NormGuard.StartsWithChar('m')),
+    NormRule("person-mrs", 10, """^Mrs\.?\s+""", "", Set(PERSON),
+      guard = NormGuard.StartsWithChar('m')),
+    NormRule("person-ms", 10, """^Ms\.?\s+""", "", Set(PERSON),
+      guard = NormGuard.StartsWithChar('m')),
+    NormRule("person-dr", 10, """^Dr\.?\s+""", "", Set(PERSON),
+      guard = NormGuard.StartsWithChar('d')),
+    NormRule("person-jr", 10, """,?\s+(Jr\.?|Junior)$""", "", Set(PERSON),
+      guard = NormGuard.EndsIn("r.")),
+    NormRule("person-sr", 10, """,?\s+(Sr\.?|Senior)$""", "", Set(PERSON),
+      guard = NormGuard.EndsIn("r.")),
   )
 
   val SCHEMA = "SCHEMA"
@@ -96,18 +240,30 @@ object Normalizer {
     * space for all metadata types.
     */
   val metadataRules: Seq[NormRule] = Seq(
-    NormRule("metadata-version-suffix", 10, """[_\-]v\d+$""", "", Set(DATASET, TABLE)),
-    NormRule("metadata-final-suffix", 10, """[_\-](final|draft)$""", "", Set(DATASET, TABLE)),
-    NormRule("metadata-dataset-env-suffix", 10, """[_\-](prod|dev|staging|test)$""", "", Set(DATASET, TABLE)),
-    NormRule("metadata-date-suffix-full", 10, """[_\-]\d{4}[_\-]?\d{2}[_\-]?\d{2}$""", "", Set(DATASET, TABLE)),
-    NormRule("metadata-date-suffix-year", 15, """[_\-]\d{4}$""", "", Set(DATASET, TABLE)),
-    NormRule("schema-dbo-prefix", 10, """^dbo\.""", "", Set(SCHEMA)),
-    NormRule("schema-public-prefix", 10, """^public\.""", "", Set(SCHEMA)),
-    NormRule("schema-raw-prefix", 10, """^raw\.""", "", Set(SCHEMA)),
-    NormRule("schema-staging-prefix", 10, """^staging\.""", "", Set(SCHEMA)),
-    NormRule("service-env-suffix", 10, """[_\-](dev|staging|prod|production|uat|qa)$""", "", Set(SERVICE, API)),
-    NormRule("metadata-underscores-to-spaces", 50, "_", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API)),
-    NormRule("metadata-hyphens-to-spaces", 50, "-", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API)),
+    NormRule("metadata-version-suffix", 10, """[_\-]v\d+$""", "", Set(DATASET, TABLE),
+      guard = NormGuard.EndsIn("0123456789")),
+    NormRule("metadata-final-suffix", 10, """[_\-](final|draft)$""", "", Set(DATASET, TABLE),
+      guard = NormGuard.EndsIn("lt")),
+    NormRule("metadata-dataset-env-suffix", 10, """[_\-](prod|dev|staging|test)$""", "", Set(DATASET, TABLE),
+      guard = NormGuard.EndsIn("dvgt")),
+    NormRule("metadata-date-suffix-full", 10, """[_\-]\d{4}[_\-]?\d{2}[_\-]?\d{2}$""", "", Set(DATASET, TABLE),
+      guard = NormGuard.EndsIn("0123456789")),
+    NormRule("metadata-date-suffix-year", 15, """[_\-]\d{4}$""", "", Set(DATASET, TABLE),
+      guard = NormGuard.EndsIn("0123456789")),
+    NormRule("schema-dbo-prefix", 10, """^dbo\.""", "", Set(SCHEMA),
+      guard = NormGuard.StartsWithChar('d')),
+    NormRule("schema-public-prefix", 10, """^public\.""", "", Set(SCHEMA),
+      guard = NormGuard.StartsWithChar('p')),
+    NormRule("schema-raw-prefix", 10, """^raw\.""", "", Set(SCHEMA),
+      guard = NormGuard.StartsWithChar('r')),
+    NormRule("schema-staging-prefix", 10, """^staging\.""", "", Set(SCHEMA),
+      guard = NormGuard.StartsWithChar('s')),
+    NormRule("service-env-suffix", 10, """[_\-](dev|staging|prod|production|uat|qa)$""", "", Set(SERVICE, API),
+      guard = NormGuard.EndsIn("vgdnta")),
+    NormRule("metadata-underscores-to-spaces", 50, "_", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API),
+      guard = NormGuard.ContainsChar('_')),
+    NormRule("metadata-hyphens-to-spaces", 50, "-", " ", Set(DATASET, TABLE, SCHEMA, SERVICE, API),
+      guard = NormGuard.ContainsChar('-')),
   )
 
   /** Default engine = company + common rules
@@ -131,7 +287,9 @@ object Normalizer {
     if (name == null || name.trim.isEmpty) return ""
     var result = name
     rulesFor(entityType).foreach { r =>
-      result = r.compiled.matcher(result).replaceAll(r.replacement)
+      // guard = pure skip (NormGuard soundness property in NormalizerSpec)
+      if (r.guard.mayMatch(result))
+        result = r.compiled.matcher(result).replaceAll(r.replacement)
     }
     result.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
   }

@@ -26,7 +26,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimKernels {
 
-  private def isAscii(s: UTF8String): Boolean = s.numBytes() == s.numChars()
+  /** All-ASCII test = "no byte has its high bit set" (numBytes ==
+    * numChars, but without numChars' per-char UTF-8 skip walk): scan 8
+    * bytes per read. Runs twice per kernel call — 6x per scored pair —
+    * so the constant matters.
+    */
+  private def isAscii(s: UTF8String): Boolean = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    var i = 0
+    while (i + 8 <= n) {
+      if ((Platform.getLong(base, off + i) & 0x8080808080808080L) != 0L)
+        return false
+      i += 8
+    }
+    while (i < n) {
+      if (bt(base, off, i) < 0) return false
+      i += 1
+    }
+    true
+  }
 
   /** In-place byte read: the ASCII kernels index the string's backing
     * memory directly (byte[] heap base or off-heap address) — the

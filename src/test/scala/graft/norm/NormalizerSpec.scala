@@ -18,7 +18,14 @@ class NormalizerSpec extends AnyFunSuite {
     val rng = new scala.util.Random(0x0057)
     val alphabet = "abcDEF &.,-_0123456789\t\né中 "
     val corners = Seq("", "   ", "The Acme Corp", "a & b and c", "x  ,  Inc.",
-      "dbo.table_v2", "Mr. John Smith Jr.", null)
+      "dbo.table_v2", "Mr. John Smith Jr.", null,
+      // guard adversaries: '$' matches before ONE final line terminator,
+      // so a suffix rule must still fire through a trailing \n / \r\n;
+      // mixed-case endings exercise the ASCII fold; lone vs doubled
+      // spaces pin the collapse guard's identity case
+      "Acme Inc\n", "Acme Inc.\r\n", "Beta CO\r", "Gamma gmbH",
+      "Delta sA", "The\tCompany", "plain co", "a  b", "a b", "AND",
+      "sandwich", "x&y", "data_2024\n", "raw.t_v3\r\n", "Dr No Sr.")
     val rand = (0 until 300).map(_ =>
       (0 until rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
     val df = (corners ++ rand).zipWithIndex.map(_.swap).toDF("id", "s")
@@ -90,5 +97,36 @@ class NormalizerSpec extends AnyFunSuite {
   test("rule priority is stable: 'and' before ampersand-strip before special chars") {
     // "A and B & C" -> and-rule -> "A B & C" -> ampersand -> "A B C"
     assert(Normalizer.normalize("A and B & C") == "a b c")
+  }
+
+  test("guard soundness: guard=false implies replaceAll is identity") {
+    // A guard only ever certifies that SKIPPING the rule is safe —
+    // whenever it rejects a string, applying the rule must return the
+    // string unchanged (either no match, or — for the collapse rule —
+    // a match whose replacement is the identity rewrite ' '->' ').
+    // Driven over every rule with strings biased toward each rule's own
+    // trigger tokens plus line terminators and unicode.
+    val rng = new scala.util.Random(0x6A9D)
+    val seeds = Seq("inc", "ltd", "co", "corp", "sa", "llc", "plc", "gmbh",
+      "ag", "nv", "bv", "the", "and", "&", "mr", "dr", "jr", "sr", "_v2",
+      "final", "prod", "2024", "dbo.", "public.", "-", "_", " ", "  ",
+      "\t", "\n", "\r\n", "\r", ".", ",", "é", "中", "", " ")
+    val samples = (0 until 4000).map { _ =>
+      (0 until rng.nextInt(6)).map(_ => seeds(rng.nextInt(seeds.length)))
+        .mkString("") match {
+        case s if rng.nextBoolean() => s
+        case s => s.toUpperCase(java.util.Locale.ROOT)
+      }
+    } ++ seeds
+    var rejected = 0
+    for (r <- Normalizer.allRules; s <- samples) {
+      if (!r.guard.mayMatch(s)) {
+        rejected += 1
+        val applied = r.compiled.matcher(s).replaceAll(r.replacement)
+        assert(applied == s,
+          s"guard of '${r.name}' rejected '$s' but applying '${r.pattern}' changed it to '$applied'")
+      }
+    }
+    assert(rejected > 10000, s"guards never fired (rejected=$rejected) — test is vacuous")
   }
 }
