@@ -292,23 +292,55 @@ object ResolvePipeline {
         (repsMat, Some(m))
       } else (allNames, None)
 
+    // ---- integer surrogate join ids (non-checkpoint mode). The
+    // candidate distinct and the two scoring-dim probes are the
+    // pipeline's memory-system hot spots: on string doc_ids every one of
+    // the ~n_pairs HashAggregate / HashedRelation operations hashes and
+    // memcmps two var-length strings inside tables hundreds of MB big —
+    // at high parallelism that random traffic is what saturates shared
+    // memory bandwidth. A long surrogate (`__did`) makes each pair row a
+    // fixed-width 16 bytes (vs ~40+ for two string ids), shrinks the
+    // distinct's aggregate table ~2.5x, and lets Spark build long-keyed
+    // hash relations for the name dims. The surrogate is minted with
+    // monotonically_increasing_id over the FROZEN rep table (non-store
+    // mode always localCheckpoints it, so every consumer scan derives
+    // identical ids within the run); ids never reach an output or a
+    // persisted stage — scoring re-canonicalizes to string doc_ids
+    // (least/greatest is safe: all three kernels are symmetric), and
+    // checkpointed runs keep the string path end to end because a
+    // StageStore snapshot must stay self-describing across runs/resumes.
+    // Output equality of the two paths is pinned by ResolveJobSpec's
+    // checkpointed == direct test and the q04/q05/q29/q60 oracles.
+    val useDids = store.isEmpty
+    val namesKeyed =
+      if (useDids) names.withColumn("__did", monotonically_increasing_id())
+      else names
+    val joinId = if (useDids) "__did" else "doc_id"
+    // the key builders and CandidateGenerator are id-type-agnostic: feed
+    // them the join id in the doc_id slot
+    val keySource =
+      if (useDids)
+        namesKeyed.select(col("__did").as("doc_id") +:
+          names.columns.filter(_ != "doc_id").toSeq.map(col): _*)
+      else names
+
     // ---- blocking keys (B1 + B5 + B6): one unified (block_key, doc_id)
     // table as a union of per-strategy key tables (each strategy stays a
     // linear expression tree; the union is what gets bucketed by
     // block_key at cluster scale)
     val keyTables = Seq(
       if (cfg.useDefaultKeys)
-        Some(BlockingKeys.explodeKeys(names, "doc_id",
+        Some(BlockingKeys.explodeKeys(keySource, "doc_id",
           BlockingKeys.defaultKeys(col("normalized")), tenantCarry))
       else None,
       if (cfg.useSortedNeighborhoodKeys)
-        Some(names
+        Some(keySource
           .select(BlockingKeys.sortedNeighborhoodKey(col("normalized")).as("block_key") +:
             col("doc_id") +: tenantCarry.map(col): _*)
           .where(col("block_key").isNotNull))
       else None,
       if (cfg.useMinHashLsh)
-        Some(BlockingKeys.minhashKeyTable(names, "doc_id", col("normalized"), tenantCarry))
+        Some(BlockingKeys.minhashKeyTable(keySource, "doc_id", col("normalized"), tenantCarry))
       else None,
     ).flatten.map { kt =>
       // tenant isolation: the tenant id becomes part of the block key
@@ -353,15 +385,21 @@ object ResolvePipeline {
     val pairs =
       if (!cfg.orphanFallback) blockedPairs
       else {
+        // join-id space throughout (pair columns match blockedPairs');
+        // sampling ORDER stays on the string doc_id — the deterministic-
+        // sample contract must not depend on how surrogates were minted
         val paired = blockedPairs.select(col("doc_id_a").as("doc_id"))
           .union(blockedPairs.select(col("doc_id_b").as("doc_id"))).distinct()
-        val orphans = names.join(paired, Seq("doc_id"), "left_anti")
+        val orphans = namesKeyed
+          .select(col(joinId).as("doc_id") +: scopeCols.map(col): _*)
+          .join(paired, Seq("doc_id"), "left_anti")
         val fb0 =
           if (scopeCols.isEmpty) {
             // TakeOrderedAndProject: distributed partial top-k, cap rows
-            val sample = names.select("doc_id").orderBy(col("doc_id"))
-              .limit(cfg.orphanFallbackCap)
-              .select(col("doc_id").as("doc_id_b"))
+            val sample = namesKeyed
+              .select(col(joinId).as("doc_id_b"), col("doc_id").as("__ord"))
+              .orderBy(col("__ord")).limit(cfg.orphanFallbackCap)
+              .select("doc_id_b")
             orphans.select(col("doc_id")).crossJoin(broadcast(sample))
           } else {
             // per-scope top-cap by doc_id; `names` is the post-pregroup
@@ -373,9 +411,9 @@ object ResolvePipeline {
             // otherwise, which is exactly the bound we want.
             val byScope = org.apache.spark.sql.expressions.Window
               .partitionBy(scopeCols.map(col): _*).orderBy(col("doc_id"))
-            val sample = names.withColumn("__rn", row_number().over(byScope))
+            val sample = namesKeyed.withColumn("__rn", row_number().over(byScope))
               .where(col("__rn") <= cfg.orphanFallbackCap)
-              .select(col("doc_id").as("doc_id_b") +:
+              .select(col(joinId).as("doc_id_b") +:
                 scopeCols.map(c => col(c).as(c + "_b")): _*)
             orphans.select(col("doc_id") +: scopeCols.map(col): _*)
               .join(sample,
@@ -394,8 +432,12 @@ object ResolvePipeline {
     // from the breakdown ALIASES (the reference's computeWithBreakdown
     // shape) — multi-use non-cheap aliases stop CollapseProject from
     // inlining, so each kernel runs once per pair.
-    val a = names.select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
-    val b = names.select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
+    // dims keyed by the join id; they also CARRY the string doc_id so the
+    // output projection needs no extra join to map surrogates back
+    val a = namesKeyed.select(col(joinId).as("doc_id_a"),
+      col("doc_id").as("__sa"), col("normalized").as("name_a"))
+    val b = namesKeyed.select(col(joinId).as("doc_id_b"),
+      col("doc_id").as("__sb"), col("normalized").as("name_b"))
     val w = cfg.weights
     // Scoring runs in the reduce stage of the second name join: with AQE
     // partition coalescing disabled (set in run()) and
@@ -421,8 +463,14 @@ object ResolvePipeline {
             + lit(w.jaroWinklerWeight) * col("jw_score")
             + lit(w.jaccardWeight) * col("jaccard_score")))
       .withColumn("decision", Decisions.decide(col("score"), cfg.thresholds))
-      .select("doc_id_a", "doc_id_b", "lev_score", "jw_score", "jaccard_score",
-        "score", "decision")
+      // re-canonicalize on the STRING ids: candidate pairs were ordered in
+      // join-id space, and surrogate order need not match string order.
+      // Safe because every score is symmetric in (name_a, name_b); in
+      // string mode this is the identity (pairs are already canonical).
+      .select(least(col("__sa"), col("__sb")).as("doc_id_a"),
+        greatest(col("__sa"), col("__sb")).as("doc_id_b"),
+        col("lev_score"), col("jw_score"), col("jaccard_score"),
+        col("score"), col("decision"))
     // The scored-pairs table is a MATERIALIZATION BARRIER: downstream
     // filters (AUTO_MERGE edges, metrics) must not be pushed back through
     // the candidate join — Catalyst would otherwise re-evaluate the full
@@ -430,6 +478,10 @@ object ResolvePipeline {
     // skew-concentrated key stream (observed 17x blowup). With a
     // StageStore the parquet snapshot is that barrier; without one, an
     // eager localCheckpoint is.
+    if (sys.env.contains("GRAFT_EXPLAIN"))
+      System.err.println("[explain] scoring plan:\n" +
+        scoredPlan.queryExecution.executedPlan.toString.linesIterator
+          .take(60).mkString("\n"))
     val pairScores = store match {
       case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
       case None => timed("pairScores.localCheckpoint")(scoredPlan.localCheckpoint(true))

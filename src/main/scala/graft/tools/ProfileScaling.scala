@@ -41,6 +41,8 @@ object ProfileScaling {
               f"gc=${tm.jvmGCTime / 1000.0}%5.1f " +
               f"shufW=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%6.0fMB " +
               f"shufR=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%6.0fMB " +
+              f"spillM=${tm.memoryBytesSpilled / 1e6}%6.0fMB " +
+              f"spillD=${tm.diskBytesSpilled / 1e6}%6.0fMB " +
               si.name.takeWhile(_ != '\n').take(60))
           }
         })
