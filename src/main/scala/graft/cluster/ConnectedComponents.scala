@@ -16,30 +16,41 @@ import org.apache.spark.sql.functions._
   *    materialize an adjacency list in one task);
   *  - every iteration `localCheckpoint`s to truncate lineage (iterative
   *    plans otherwise grow exponentially);
-  *  - convergence is detected by an (edge-count, hash-sum) signature —
-  *    two cheap aggregates instead of a full except();
+  *  - convergence is detected by a direct min-rooted star-forest test
+  *    (see [[isStarForest]]) — deterministic, and it spares the extra
+  *    full operator iteration a repeat-signature check needs;
   *  - converges in O(log n) rounds; cluster id = min member
   *    (deterministic KEEP_TARGET-style canonical pick,
   *    merge/MergeStrategy.java).
   */
 object ConnectedComponents {
 
-  private def signature(e: DataFrame): (Long, String, String) = {
-    // sum in decimal(38,0): a long sum of 64-bit hashes overflows under
-    // ANSI mode (Spark 4 default). TWO independent hash sums (the second
-    // seeds xxhash64 differently by prepending a constant column): a
-    // false convergence needs consecutive non-equal edge sets to collide
-    // on count AND both sums — ~2^-128 per iteration instead of ~2^-64.
-    // A collision would SILENTLY emit labels from a non-star edge set,
-    // so the signature is cheap insurance on the one probabilistic check
-    // in an otherwise exact pipeline.
-    val row = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h"),
-      coalesce(sum(xxhash64(lit(0x5eed), col("src"), col("dst")).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("h2")).collect()(0)
-    (row.getLong(0), String.valueOf(row.get(1)), String.valueOf(row.get(2)))
+  /** Convergence = the edge set IS a min-rooted star forest, checked
+    * directly: (a) every edge points larger -> smaller (dst < src), so
+    * each star's root is its minimum; (b) no node is both a source and a
+    * destination (no two-hop chains); (c) every source appears exactly
+    * once (a node points at one root). Such a set is a fixed point of
+    * smallStar(largeStar(_)) — Kiveris et al. §3: the algorithm's fixed
+    * points are exactly the min-rooted star forests — and each star's
+    * root is its component minimum (a smaller member would be a leaf
+    * below a larger root, violating (a)).
+    *
+    * DETERMINISTIC and one iteration cheaper than the previous
+    * signature-repetition check, which had to run the full 8-shuffle
+    * operator chain once more on an already-converged set just to
+    * observe it unchanged (and was probabilistic — hash-sum equality).
+    * At any scale the saved iteration is a full O(E) pass; the check
+    * itself is three short-circuiting violation scans (limit 1) unioned
+    * into one job over the (small, checkpointed) current edge set.
+    */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val misoriented = e.where(col("dst") >= col("src")).select(lit(1).as("v"))
+    val chained = e.join(
+      e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+      .select(lit(1).as("v"))
+    val multiRoot = e.groupBy("src").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select(lit(1).as("v"))
+    misoriented.union(chained).union(multiRoot).limit(1).isEmpty
   }
 
   /** Large-star: connect every neighbor v > u to the min of u's
@@ -121,17 +132,14 @@ object ConnectedComponents {
       .localCheckpoint(true)
 
     val profile = sys.env.contains("GRAFT_PROFILE")
-    var prevSig = (-1L, "", "")
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint(true)
-      val sig = signature(e)
+      converged = isStarForest(e)
       if (profile) System.err.println(
-        f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, edges=${sig._1}")
-      converged = sig == prevSig
-      prevSig = sig
+        f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
       iter += 1
     }
     if (!converged && !e.isEmpty)

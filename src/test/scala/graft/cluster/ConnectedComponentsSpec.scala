@@ -90,4 +90,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(9L -> 9L, 100L -> 9L))
   }
+
+  test("star-forest convergence requires min-root orientation") {
+    // A single edge (1 -> 2) is star-SHAPED but points small -> large; a
+    // convergence test that ignored orientation would stop immediately
+    // and label both nodes 2 instead of the component min 1. Pins the
+    // isStarForest orientation condition.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val got = ConnectedComponents.run(spark,
+        Seq((1L, 2L)).toDF("src", "dst"),
+        Seq(1L, 2L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
 }
