@@ -98,30 +98,8 @@ object ConnectedComponents {
     * @param vertices DataFrame with a single `doc_id` column (the universe)
     */
   def run(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
-          maxIterations: Int = 50): DataFrame = {
-    // The iteration loop is SHUFFLE-bound, not CPU-per-row-bound, and the
-    // edge set CONTRACTS geometrically — so the pipeline's global
-    // "coalescing off" rationale (similarity kernels collapse to too few
-    // tasks) does not apply here, while its cost does: ~8 shuffles per
-    // iteration each at the full session partition count over an
-    // ever-shrinking edge table is pure task-scheduling overhead by the
-    // later rounds. AQE partition coalescing is exactly the right policy
-    // for this loop at every scale (billions of edges stay wide; the
-    // contracted tail collapses), so enable it CC-locally and restore the
-    // caller's setting after the eager loop finishes. The returned labels
-    // plan is lazy and evaluates under the caller's conf.
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "true")
-    try {
-      runLoop(spark, edges, vertices, maxIterations)
-    } finally {
-      prevCoalesce match {
-        case Some(v) => spark.conf.set(coalesceKey, v)
-        case None => spark.conf.unset(coalesceKey)
-      }
-    }
-  }
+          maxIterations: Int = 50): DataFrame =
+    runLoop(spark, edges, vertices, maxIterations)
 
   private def runLoop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                       maxIterations: Int): DataFrame = {
@@ -134,6 +112,41 @@ object ConnectedComponents {
     val profile = sys.env.contains("GRAFT_PROFILE")
     var iter = 0
     var converged = e.isEmpty
+    // Contraction pre-pass: merge graphs from pairwise scoring are
+    // clique-heavy (every within-cluster pair that scored above the
+    // threshold is its own edge), and one smallStar pass contracts a
+    // k-clique's k(k-1)/2 edges to a (k-1)-star at roughly HALF the cost
+    // of a full alternation step — largeStar must union both edge
+    // directions (2E rows) before its group-min, smallStar only
+    // re-orients (E rows). Both operators preserve connected components
+    // (Kiveris et al. §3), so the loop's fixed point is unchanged; on
+    // clique-dominated inputs the pre-pass alone often converges and the
+    // expensive first largeStar never runs over the raw quadratic set.
+    // The pre-pass (and the initial distinct above) see the WIDEST edge
+    // set of the whole loop and run under the caller's no-coalescing
+    // policy at full parallelism; coalescing turns on below, for the
+    // contracted tail only.
+    if (!converged) {
+      val t0 = System.nanoTime()
+      e = smallStar(e).localCheckpoint(true)
+      converged = isStarForest(e)
+      if (profile) System.err.println(
+        f"[cc] smallStar pre-pass: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
+    }
+    // The alternating loop below is SHUFFLE-bound over a geometrically
+    // CONTRACTING edge set — so the pipeline's global "coalescing off"
+    // rationale (similarity kernels collapse to too few tasks) does not
+    // apply, while its cost does: ~8 shuffles per iteration each at the
+    // full session partition count over an ever-shrinking table is pure
+    // task-scheduling overhead by the later rounds. AQE partition
+    // coalescing is exactly the right policy for the tail at every scale
+    // (billions of edges stay wide; the contracted tail collapses).
+    // Scoped with try/finally; the returned labels plan is lazy and
+    // evaluates under the caller's conf.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    if (!converged) spark.conf.set(coalesceKey, "true")
+    try {
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint(true)
@@ -141,6 +154,12 @@ object ConnectedComponents {
       if (profile) System.err.println(
         f"[cc] iter $iter: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
       iter += 1
+    }
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
     }
     if (!converged && !e.isEmpty)
       throw new IllegalStateException(s"connected components did not converge in $maxIterations iterations")

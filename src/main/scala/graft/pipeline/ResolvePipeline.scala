@@ -259,7 +259,12 @@ object ResolvePipeline {
     val allNames = store match {
       case Some(_) => normalized.select(nameCols: _*)
       case None => timed("allNames.localCheckpoint") {
-        normalized.select(nameCols: _*).localCheckpoint(true)
+        val base = normalized.select(nameCols: _*)
+        // when pregrouping is OFF this dim is where surrogates get minted
+        // (see namesKeyed): freeze it in doc_id order so the minted ids
+        // are order-isomorphic to the string ids
+        (if (cfg.exactPregroup) base else base.orderBy("doc_id"))
+          .localCheckpoint(true)
       }
     }
 
@@ -284,7 +289,10 @@ object ResolvePipeline {
         // groupBy shuffle re-executes once per consumer (~8x per run)
         val repsMat = store match {
           case Some(_) => reps
-          case None => timed("reps.localCheckpoint")(reps.localCheckpoint(true))
+          // frozen in doc_id order: the surrogate minting (namesKeyed)
+          // derives order-isomorphic, locality-dense ids from this scan
+          case None => timed("reps.localCheckpoint")(
+            reps.orderBy("doc_id").localCheckpoint(true))
         }
         val m = allNames
           .join(repsMat.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
@@ -312,6 +320,24 @@ object ResolvePipeline {
     // Output equality of the two paths is pinned by ResolveJobSpec's
     // checkpointed == direct test and the q04/q05/q29/q60 oracles.
     val useDids = store.isEmpty
+    // Surrogates are minted in doc_id order — the name dim is FROZEN
+    // range-sorted (see the orderBy at its localCheckpoint) and
+    // monotonically_increasing_id over that frozen scan is ascending
+    // within partitions and across partition indices, which buys two
+    // properties:
+    //  - ORDER ISOMORPHISM: __did < __did' iff doc_id < doc_id' (binary
+    //    string order), so a min/least over surrogates corresponds to the
+    //    same min over string ids — downstream consumers may canonicalize
+    //    in either space;
+    //  - PROBE LOCALITY: candidate pairs are dominated by same-block
+    //    neighbors, and blocks are clusters of near-identical names whose
+    //    doc_ids the generators/ingest lay out near each other. With ids
+    //    dense in that order, the scoring stage's random probes into the
+    //    broadcast name relations touch a sliding window instead of the
+    //    whole table — the measured source of per-core CPU inflation at
+    //    high parallelism was exactly those whole-table random reads
+    //    (profiled: scoring-stage CPU 297 s -> 376 thread-s from 1 to 4
+    //    threads on identical work while the kernels alone scale at 0.95).
     val namesKeyed =
       if (useDids) names.withColumn("__did", monotonically_increasing_id())
       else names
@@ -450,7 +476,17 @@ object ResolvePipeline {
     // (A shuffle_hash hint on the name sides was measured and reverted:
     // 179 s vs 170 s for the SMJ plan at local[16] — the stage is
     // kernel-dominated, and SMJ's sorts are not the bottleneck.)
-    val scoredPlan = pairs
+    // Sorted pair scan (surrogate mode): within each partition the pair
+    // stream is scanned in (doc_id_a, doc_id_b) order, so the broadcast
+    // name-relation probes walk a localized window of the dim (ids are
+    // locality-dense, see namesKeyed) instead of random-accessing the
+    // whole table on every row — at 4+ threads those whole-table random
+    // reads thrash the shared last-level cache and were the measured
+    // per-core inflation. Radix sort over two fixed-width longs in the
+    // same stage as the distinct's final aggregate; no extra exchange.
+    val pairsScanned =
+      if (useDids) pairs.sortWithinPartitions("doc_id_a", "doc_id_b") else pairs
+    val scoredPlan = pairsScanned
       .join(a, Seq("doc_id_a"))
       .join(b, Seq("doc_id_b"))
       .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
