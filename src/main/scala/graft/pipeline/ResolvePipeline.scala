@@ -100,6 +100,14 @@ final case class PipelineConfig(
 
 final case class PipelineResult(
     clusters: DataFrame,        // doc_id, cluster_id, spans
+    /** The narrow (doc_id, cluster_id) assignment table — `clusters`
+      * before the span re-attachment join. Checksums and metrics that
+      * only need cluster identity should read THIS: a scan of `clusters`
+      * deserializes every span payload (checkpoint/snapshot scans cannot
+      * column-prune), which is pure allocation pressure when the spans
+      * are not consumed.
+      */
+    assignments: DataFrame,     // doc_id, cluster_id
     pairScores: DataFrame,      // doc_id_a/b, lev/jw/jaccard/score, decision
     /** L6 provenance: the merge edges that fed CC, with score and reason
       * (MERGED_INTO edge properties, graph/CypherExecutor.java:343-351) —
@@ -290,12 +298,24 @@ object ResolvePipeline {
         val repsMat = store match {
           case Some(_) => reps
           // frozen in doc_id order: the surrogate minting (namesKeyed)
-          // derives order-isomorphic, locality-dense ids from this scan
+          // derives order-isomorphic, locality-dense ids from this scan.
+          // Freeze-then-sort: the range exchange SAMPLES its child to
+          // pick bounds, and sampling a lazy aggregate re-executes the
+          // whole groupBy — over the frozen table the sample is a cheap
+          // scan.
           case None => timed("reps.localCheckpoint")(
-            reps.orderBy("doc_id").localCheckpoint(true))
+            reps.localCheckpoint(true).orderBy("doc_id").localCheckpoint(true))
         }
+        // member -> representative map as a WINDOW over the group key, not
+        // a join against the rep dim: the join's broadcast build serializes
+        // the full ~name-width dim on the driver every time a lazy consumer
+        // evaluates this map (measured seconds per evaluation); the window
+        // is one data-parallel exchange + group-local min with no driver
+        // work, and computes the identical rep (min doc_id per group).
+        val byGroup = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
         val m = allNames
-          .join(repsMat.select(groupCols.map(col) :+ col("doc_id").as("rep"): _*), groupCols)
+          .withColumn("rep", min("doc_id").over(byGroup))
           .select(col("doc_id"), col("rep"))
         (repsMat, Some(m))
       } else (allNames, None)
@@ -622,6 +642,6 @@ object ResolvePipeline {
           .withColumn("reason", lit("REVIEW_APPROVED")))
       case None => scoredEdges
     }
-    PipelineResult(clusters, pairScores, mergeEdges, rejects, metrics, candStats)
+    PipelineResult(clusters, assignments, pairScores, mergeEdges, rejects, metrics, candStats)
   }
 }
