@@ -77,6 +77,20 @@ object SparkEntry {
     m.getOrElseUpdate(s"$dir|$key", f)
   }
 
+  /** Eager columnar materialization for the memo stages: persist (the
+    * SQL cache stores compressed ~10k-row column batches) + a count to
+    * build it. Replaces RDD localCheckpoint, whose one-heap-object-per-
+    * row store path was measured to ANTI-scale with executor threads
+    * (2.4 s at 1 thread -> 29.5 s at 4 for identical data; worse at the
+    * sweep's local[32]) — same barrier semantics, and consumer scans are
+    * column-pruned.
+    */
+  private def staged(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
   /** Materialize the per-session memoized shared stages (nn -> keys ->
     * pairs -> cc, mentions -> synonyms) up front. Bench calls this before
     * its timed sweep so every per-query number measures only that query's
@@ -98,18 +112,18 @@ object SparkEntry {
 
   private def nnDF(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "nn") {
-      nonBlank(s, dir).select("doc_id", "n").localCheckpoint(true)
+      staged(nonBlank(s, dir).select("doc_id", "n"))
     }
 
   private def keysDF(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "keys") {
-      BlockingKeys.explodeKeys(nnDF(s, dir), "doc_id",
-        BlockingKeys.defaultKeys(col("n"))).localCheckpoint(true)
+      staged(BlockingKeys.explodeKeys(nnDF(s, dir), "doc_id",
+        BlockingKeys.defaultKeys(col("n"))))
     }
 
   private def pairsDF(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "pairs") {
-      CandidateGenerator.candidatePairs(keysDF(s, dir), MaxBlock).localCheckpoint(true)
+      staged(CandidateGenerator.candidatePairs(keysDF(s, dir), MaxBlock))
     }
 
   /** candidate pairs scored with the oracle-safe composite (lev .5/jac .5).
@@ -134,8 +148,8 @@ object SparkEntry {
     memoized(s, dir, "cc") {
       val edges = scoredDF(s, dir).where(col("score") >= CcThreshold)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      ConnectedComponents.run(s, edges, documents(s, dir).select("doc_id"))
-        .localCheckpoint(true)
+      staged(ConnectedComponents.run(s, edges,
+        documents(s, dir).select("doc_id")))
     }
 
   /** Deterministic 4-span interleaved docs synthesized from `documents`
@@ -184,7 +198,7 @@ object SparkEntry {
         .where(col("normalized") =!= "")
         .withColumn("entity_id", min(col("doc_id")).over(w))
         .select(col("doc_id").as("seq"), col("value"), col("normalized"), col("entity_id"))
-        .localCheckpoint(true)
+        .transform(staged)
     }
 
   // memoized: the synonym table feeds q45/q46/q47/q61 — without staging,
@@ -192,7 +206,7 @@ object SparkEntry {
   // on the lifecycle quartet: first-touch reshuffled, +2.5-3.4 s each)
   private def synonymsDF(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "syn") {
-      Synonyms.fromMentions(mentions(s, dir), source = "IMPORT").localCheckpoint(true)
+      staged(Synonyms.fromMentions(mentions(s, dir), source = "IMPORT"))
     }
 
   /** Library-relationship fixture derived deterministically from doc ids

@@ -103,15 +103,8 @@ object ConnectedComponents {
 
   private def runLoop(spark: SparkSession, edges: DataFrame, vertices: DataFrame,
                       maxIterations: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-
     val profile = sys.env.contains("GRAFT_PROFILE")
     var iter = 0
-    var converged = e.isEmpty
     // Contraction pre-pass: merge graphs from pairwise scoring are
     // clique-heavy (every within-cluster pair that scored above the
     // threshold is its own edge), and one smallStar pass contracts a
@@ -122,17 +115,22 @@ object ConnectedComponents {
     // (Kiveris et al. §3), so the loop's fixed point is unchanged; on
     // clique-dominated inputs the pre-pass alone often converges and the
     // expensive first largeStar never runs over the raw quadratic set.
-    // The pre-pass (and the initial distinct above) see the WIDEST edge
-    // set of the whole loop and run under the caller's no-coalescing
-    // policy at full parallelism; coalescing turns on below, for the
-    // contracted tail only.
-    if (!converged) {
-      val t0 = System.nanoTime()
-      e = smallStar(e).localCheckpoint(true)
-      converged = isStarForest(e)
-      if (profile) System.err.println(
-        f"[cc] smallStar pre-pass: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
-    }
+    // The RAW edge set flows straight into the pre-pass: smallStar's
+    // first exchange canonicalizes (greatest/least) and distincts anyway,
+    // so a separate entry distinct + checkpoint + emptiness probe would
+    // add a full-width shuffle and two driver actions over the WIDEST
+    // edge set of the whole loop for nothing — an empty input simply
+    // yields an empty pre-pass result, which the star-forest test reports
+    // as converged (vacuously a star forest). The pre-pass runs under the
+    // caller's no-coalescing policy at full parallelism; coalescing turns
+    // on below, for the contracted tail only.
+    val t0 = System.nanoTime()
+    var e = smallStar(
+        edges.select(col("src"), col("dst")).where(col("src") =!= col("dst")))
+      .localCheckpoint(true)
+    var converged = isStarForest(e)
+    if (profile) System.err.println(
+      f"[cc] smallStar pre-pass: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
     // The alternating loop below is SHUFFLE-bound over a geometrically
     // CONTRACTING edge set — so the pipeline's global "coalescing off"
     // rationale (similarity kernels collapse to too few tasks) does not

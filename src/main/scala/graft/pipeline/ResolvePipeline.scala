@@ -405,8 +405,21 @@ object ResolvePipeline {
     // avoids re-running the minhash shingle hashing per consumer.
     val keys = store match {
       case Some(_) => stage("blocking_keys", fpKeys)(keyTables.reduce(_ union _))
-      case None => timed("keys.localCheckpoint") {
-        keyTables.reduce(_ union _).localCheckpoint(true)
+      case None => timed("keys.materialize") {
+        // columnar cache, not RDD localCheckpoint: the cache stores
+        // ~10k-row compressed column batches (dictionary/RLE on the key
+        // strings) instead of one heap object per row. Measured on the
+        // scaling corpus: the row-object store path anti-scales with
+        // executor threads (block-store cost 2.4 s at 1 thread ->
+        // 29.5 s at 4 for the same data: per-row unroll accounting +
+        // GC), while the columnar build is flat and its consumer scans
+        // are column-pruned. Same barrier semantics: InMemoryRelation
+        // replaces the subtree, so no consumer predicate reaches back
+        // into the key-generation plan, and an evicted batch recomputes
+        // the deterministic plan instead of failing the job.
+        val k = keyTables.reduce(_ union _).persist()
+        k.count()
+        k
       }
     }
 
@@ -540,7 +553,16 @@ object ResolvePipeline {
           .take(60).mkString("\n"))
     val pairScores = store match {
       case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
-      case None => timed("pairScores.localCheckpoint")(scoredPlan.localCheckpoint(true))
+      case None => timed("pairScores.materialize") {
+        // columnar cache for the pipeline's WIDEST materialization (see
+        // keys above for the measured localCheckpoint anti-scaling).
+        // pairScores compresses exceptionally well columnar: `decision`
+        // is 3-valued RLE, ids dictionary-encode, and the count() the
+        // callers do reads batch row counts without touching data.
+        val p = scoredPlan.persist()
+        p.count()
+        p
+      }
     }
 
     // ---- edges (M7/M9 + D7 overrides) -> connected components -> clusters

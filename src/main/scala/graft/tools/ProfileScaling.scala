@@ -22,7 +22,7 @@ object ProfileScaling {
       .appName(s"graft-profile-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.rdd.compress", sys.env.getOrElse("GRAFT_RDD_COMPRESS", "false"))
+      .config("spark.rdd.compress", sys.env.getOrElse("GRAFT_RDD_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,16 +47,24 @@ object ProfileScaling {
           }
         })
 
-    val docs = DocGen.corpusDF(spark, entities, 4,
-      partitions = spark.sparkContext.defaultParallelism,
-      fillerTokens = filler)
-      .select("doc_id", "spans")
+    // mirror the Bench leg's input path: read the pre-generated corpus
+    // when GRAFT_SCALE_CORPUS is set, else generate in-process
+    val docs = (sys.env.get("GRAFT_SCALE_CORPUS") match {
+      case Some(d) => spark.read.parquet(d)
+        .repartition(spark.sparkContext.defaultParallelism)
+      case None => DocGen.corpusDF(spark, entities, 4,
+        partitions = spark.sparkContext.defaultParallelism,
+        fillerTokens = filler)
+    }).select("doc_id", "spans")
       .localCheckpoint(true)
     val t0 = System.nanoTime()
     val result = ResolvePipeline.run(spark, docs,
       PipelineConfig(numShufflePartitions = Some(parts)))
     val pairs = result.pairScores.count()
-    val nClusters = result.clusters.select("cluster_id").distinct().count()
+    // NARROW checksum, same as the Bench leg (assignments, not the
+    // span-reattached clusters — profiling the wide join here showed a
+    // 48 MB exchange the measured leg never runs)
+    val nClusters = result.assignments.select("cluster_id").distinct().count()
     val dt = (System.nanoTime() - t0) / 1e9
     println(f"[scaling-profile] cores=$cores entities=$entities filler=$filler " +
       f"total=$dt%.2f s pairs=$pairs clusters=$nClusters " +

@@ -46,7 +46,10 @@ def normtype(t):
     if s in ("int32", "int64"):
         return "int"
     if s.startswith("timestamp"):
-        return "timestamp"
+        # collapse the UNIT only (us-vs-ns, observed tolerated in r02);
+        # a tz-vs-naive mismatch is untested by the driver and must FAIL
+        tz = s.split("tz=")[1].rstrip("]") if "tz=" in s else "naive"
+        return f"timestamp(tz={tz})"
     return {"large_string": "string", "large_binary": "binary"}.get(s, s)
 
 fails = 0
