@@ -266,14 +266,18 @@ object ResolvePipeline {
     // by key generation plus both sides of the scoring join
     val allNames = store match {
       case Some(_) => normalized.select(nameCols: _*)
-      case None => timed("allNames.localCheckpoint") {
-        val base = normalized.select(nameCols: _*)
+      case None if !cfg.exactPregroup => timed("allNames.localCheckpoint") {
         // when pregrouping is OFF this dim is where surrogates get minted
         // (see namesKeyed): freeze it in doc_id order so the minted ids
         // are order-isomorphic to the string ids
-        (if (cfg.exactPregroup) base else base.orderBy("doc_id"))
-          .localCheckpoint(true)
+        normalized.select(nameCols: _*).orderBy("doc_id").localCheckpoint(true)
       }
+      // pregroup + non-checkpoint mode: left LAZY on purpose — the fused
+      // rep-window pass below is this projection's only hot consumer and
+      // its columnar persist is the materialization barrier; a separate
+      // localCheckpoint here was one more full-width block store + read
+      // per run (measured ~2.5 s at 4 threads on the scaling corpus)
+      case None => normalized.select(nameCols: _*)
     }
 
     // ---- L1 exact-match fast path: one representative (min doc_id) per
@@ -283,41 +287,49 @@ object ResolvePipeline {
     // PipelineConfig.exactPregroup).
     val groupCols = Seq("normalized") ++ typeCol.map(_ => "__type") ++
       tenantCol.map(_ => "__tenant")
+    // member -> representative as a WINDOW over the group key, not a join
+    // against the rep dim: the join's broadcast build serializes the full
+    // ~name-width dim on the driver every time a lazy consumer evaluates
+    // the map (measured seconds per evaluation); the window is one
+    // data-parallel exchange + group-local min with no driver work, and
+    // computes the identical rep (min doc_id per group).
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
     val (names, repMap) =
-      if (cfg.exactPregroup) {
-        val reps = stage("exact_groups", fpGroups) {
-          allNames.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
-            .select((Seq(col("doc_id"), col("normalized")) ++
-              typeCol.map(_ => col("__type")) ++
-              tenantCol.map(_ => col("__tenant"))): _*)
-        }
-        // non-checkpoint mode: materialize the rep table like allNames —
-        // it feeds the 3 key-table branches, both sides of the scoring
-        // join, the edge type-guard and the vertex set; left lazy, the
-        // groupBy shuffle re-executes once per consumer (~8x per run)
-        val repsMat = store match {
-          case Some(_) => reps
+      if (cfg.exactPregroup) store match {
+        case Some(_) =>
+          val reps = stage("exact_groups", fpGroups) {
+            allNames.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
+              .select((Seq(col("doc_id"), col("normalized")) ++
+                typeCol.map(_ => col("__type")) ++
+                tenantCol.map(_ => col("__tenant"))): _*)
+          }
+          val m = allNames
+            .withColumn("rep", min("doc_id").over(byGroup))
+            .select(col("doc_id"), col("rep"))
+          (reps, Some(m))
+        case None => timed("repGroups.materialize") {
+          // FUSED pass: one window exchange yields BOTH pregroup surfaces —
+          // the rep dim (rows whose doc_id IS the group min: exactly one
+          // per group, identical to groupBy+min) and the member->rep map.
+          // The previous shape paid two full-width exchanges of the wide
+          // name table per run (a groupBy for the dim, the window for the
+          // map) plus a double localCheckpoint of the dim; this is one
+          // exchange + a columnar cache (names dictionary-encode, rep ids
+          // RLE) that every later evaluation of the map scans column-pruned.
+          val withRep = allNames
+            .withColumn("rep", min("doc_id").over(byGroup))
+            .persist()
+          withRep.count()
           // frozen in doc_id order: the surrogate minting (namesKeyed)
           // derives order-isomorphic, locality-dense ids from this scan.
-          // Freeze-then-sort: the range exchange SAMPLES its child to
-          // pick bounds, and sampling a lazy aggregate re-executes the
-          // whole groupBy — over the frozen table the sample is a cheap
-          // scan.
-          case None => timed("reps.localCheckpoint")(
-            reps.localCheckpoint(true).orderBy("doc_id").localCheckpoint(true))
+          // The cache is the frozen source, so the range sort's sampling
+          // pass is a cheap cached scan, and ONE localCheckpoint freezes
+          // the sorted layout for every consumer.
+          val repsMat = withRep.where(col("doc_id") === col("rep")).drop("rep")
+            .orderBy("doc_id").localCheckpoint(true)
+          (repsMat, Some(withRep.select(col("doc_id"), col("rep"))))
         }
-        // member -> representative map as a WINDOW over the group key, not
-        // a join against the rep dim: the join's broadcast build serializes
-        // the full ~name-width dim on the driver every time a lazy consumer
-        // evaluates this map (measured seconds per evaluation); the window
-        // is one data-parallel exchange + group-local min with no driver
-        // work, and computes the identical rep (min doc_id per group).
-        val byGroup = org.apache.spark.sql.expressions.Window
-          .partitionBy(groupCols.map(col): _*)
-        val m = allNames
-          .withColumn("rep", min("doc_id").over(byGroup))
-          .select(col("doc_id"), col("rep"))
-        (repsMat, Some(m))
       } else (allNames, None)
 
     // ---- integer surrogate join ids (non-checkpoint mode). The
@@ -593,7 +605,11 @@ object ResolvePipeline {
     // also what mergeEdges records below (provenance must assert only
     // merges the clusters output actually made).
     val validOverride = overrideEdges.map { o =>
-      val ids = allNames.select("doc_id")
+      // the matchable-universe id set: the member->rep map covers exactly
+      // the allNames rows and is cache-backed in non-checkpoint pregroup
+      // mode (allNames itself is lazy there — scanning it would re-run
+      // normalization)
+      val ids = repMap.map(_.select("doc_id")).getOrElse(allNames.select("doc_id"))
       o.select(col("src"), col("dst"))
         .join(ids.select(col("doc_id").as("src")), Seq("src"), "left_semi")
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
