@@ -100,8 +100,7 @@ object Bench {
       now
     }
     val result = ResolvePipeline.run(spark, docs.select("doc_id", "spans"),
-      PipelineConfig(numShufflePartitions =
-        Some(spark.sparkContext.defaultParallelism)))
+      PipelineConfig(numShufflePartitions = Some(par)))
     var t = lap("run(eager: keys+pairs+score+cc)", t0)
     val pairs = result.pairScores.count()
     t = lap("pairScores.count", t)
@@ -342,27 +341,20 @@ object Bench {
     // Host-noise policy (this box's shared-tenant weather swings leg
     // times ±30% between 10-minute windows — measured 102.6 vs 141.5 s
     // for the IDENTICAL fresh-JVM 4-thread leg): repetition + a robust
-    // location estimate, never selection.
-    //   - Pairs run back-to-back (each pair's two legs are adjacent in
-    //     time, so they share host weather).
-    //   - If the first TWO pairs both land >= 0.85, the WORSE of the two
-    //     is reported (min, not max — early stop can only under-report).
-    //   - Otherwise a third pair runs and the MEDIAN of 3 is reported.
+    // location estimate, never selection. THREE complete pairs always
+    // run, back-to-back (each pair's two legs are adjacent in time, so
+    // they share host weather), and the MEDIAN-efficiency pair is
+    // reported — unconditional, so there is no conditional-retry
+    // selection to defend: every draw gets the same treatment, the
+    // median tolerates one bad-weather pair in either direction, and
+    // all measured pairs ride the artifact next to the policy name.
     // Every reported (t_N, t_4N, efficiency) is one complete measured
-    // run; all measured pairs ride the artifact next to the policy name.
+    // run, never leg times stitched across different JVM/noise windows.
     def eff(p: (Double, Double, Long, Long, Long, Double, Double)): Double =
       (p._1 / p._2) / 4.0
-    var measured = List(runPair(), runPair())
-    var policy = "min_of_2"
-    if (measured.map(eff).min < 0.85) {
-      System.err.println(
-        f"[scaling] pair efficiencies ${measured.map(eff).map(e => f"$e%.3f").mkString(",")}; measuring a third pair (median of 3 wins)")
-      measured = measured :+ runPair()
-      policy = "median_of_3"
-    }
-    val chosen =
-      if (measured.size == 2) measured.minBy(eff)
-      else measured.sortBy(eff).apply(measured.size / 2)
+    val measured = List(runPair(), runPair(), runPair())
+    val policy = "median_of_3"
+    val chosen = measured.sortBy(eff).apply(measured.size / 2)
     val (tN, t4N, docsN, pairsN, pairs4N, gcN, gc4N) = chosen
     val efficiency = eff(chosen)
     val attempts = {
