@@ -975,6 +975,22 @@ object SparkEntry {
         documents(s, dir).where(col("doc_id") < 500), "doc_id", "text",
         langAllow = Set("en"), minQuality = 0.5, nearDupThreshold = 0.5)),
 
+    // --- incremental embedding-cosine near-dup (q24's increment form,
+    //     completing the maintained-corpus story for the third near-dup
+    //     family after q70 minhash / q71 simhash): vectors >= 400 arrive
+    //     AFTER vectors < 400 were ingested; the batch pairs against the
+    //     persisted sign-LSH key table + stored vectors plus itself.
+    //     Oracle = q24's full recompute restricted to pairs touching the
+    //     batch — the hash match proves the increment is exact.
+    "q73_incremental_cosine" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.cosineNearDupsIncrement(
+        e.where(col("vec_id") >= 400),
+        Ann.cosineState(e.where(col("vec_id") < 400), bits = 4),
+        threshold = 0.3, bits = 4).pairs
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- incremental resolve (the reference's PRIMARY per-record entry
     //     point, api/EntityResolutionService.java:502-615, as a batch
     //     increment): docs >= 400 arrive AFTER docs < 400 were clustered;
@@ -1390,6 +1406,27 @@ object SparkEntry {
            |        WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> g.doc_id THEN 'near_dup'
            |   END AS drop_reason
            |  FROM sig g LEFT JOIN lbl l USING(doc_id))""".stripMargin,
+
+      // q24's full-recompute chain restricted to pairs touching the
+      // batch (vec_id >= 400) — must hash-equal the incremental path.
+      "q73_incremental_cosine" -> {
+        val bucket = "array_to_string(list_transform(list_slice(v, 1, 4), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+        s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bk AS (SELECT vec_id, v, $bucket AS bucket FROM d),
+           |kb AS (SELECT * FROM bk WHERE vec_id >= 400),
+           |kc AS (SELECT * FROM bk WHERE vec_id < 400),
+           |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       a.v AS va, b.v AS vb
+           |      FROM kb a JOIN kb b USING(bucket) WHERE a.vec_id < b.vec_id
+           |      UNION
+           |      SELECT DISTINCT least(a.vec_id, c.vec_id),
+           |       greatest(a.vec_id, c.vec_id),
+           |       CASE WHEN a.vec_id < c.vec_id THEN a.v ELSE c.v END,
+           |       CASE WHEN a.vec_id < c.vec_id THEN c.v ELSE a.v END
+           |      FROM kb a JOIN kc c USING(bucket))
+           |SELECT id_a, id_b, round(${O.cosine("va", "vb")}, 6) AS cosine
+           |FROM p WHERE ${O.cosine("va", "vb")} >= 0.3""".stripMargin
+      },
 
       "q32_event_windows" ->
         s"""SELECT date_trunc('hour', ts) AS hour, event_type,
