@@ -50,13 +50,28 @@ object Bench {
   private def scalingRun(spark: SparkSession, entities: Int, docsPerEntity: Int,
       corpusDir: Option[String] = None, warmDir: Option[String] = None): (Double, Long, Long) = {
     val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "64").toInt
-    // Task sizing: shuffle partitions == cores. A 4x multiple (the usual
-    // straggler insurance on a real cluster) was MEASURED WORSE here on
-    // both legs (N leg 322->371 s, 4N leg 112->145 s, and 4x the
-    // checkpoint blocks pushed 4N-leg GC 1.8->7.8 s): the legs' stages
-    // are balanced, so extra tasks are pure scheduling + block overhead.
-    val par = spark.sparkContext.defaultParallelism *
-      sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
+    // Task sizing: IDENTICAL shuffle partitioning at BOTH parallelism
+    // levels (default 8 = 2 waves on the 4N leg), because that is what
+    // the comparison claims to model — on a real cluster the job's
+    // partitioning does not change when executors are added; only the
+    // number of concurrent tasks does. The previous partitions == cores
+    // sizing let the N=1 leg run a structurally CHEAPER algorithm, not
+    // the same job slower: with a single partition Spark elides every
+    // exchange (a 1-partition child trivially satisfies any hash
+    // distribution), so e.g. the candidate distinct planned as ONE fused
+    // stage with ZERO shuffle bytes and ~6 cpu-s, while the 4-thread leg
+    // paid partial-agg + 106 MB shuffle write/read + final-agg for the
+    // same output (~14.6 cpu-s) — measured in tools/DedupProbe; the
+    // whole-leg effect was a FLAT 22.5 s distinct step at both levels.
+    // Fixed partitioning makes both legs execute the identical task DAG
+    // (the 1-thread leg runs its tasks sequentially), which is the
+    // faithful local analog of an executor-count comparison.
+    // (A partitions-proportional-to-cores multiple was also tried and
+    // measured worse on both legs: N leg 322->371 s, 4N 112->145 s —
+    // extra tasks are pure scheduling + block overhead here. Default 4 =
+    // exactly one wave on the 4N leg, the minimum that still forces the
+    // N=1 leg through every real exchange.)
+    val par = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "4").toInt
     // Input tables: pre-generated parquet when provided (the parent
     // writes the corpus ONCE at full parallelism and every leg reads the
     // identical bytes from storage — faithful to a real job's input and
@@ -77,8 +92,14 @@ object Bench {
     // ~100% of its life; the short benchmark run is not).
     val warmDocs = load(warmDir, math.max(500, entities / 10))
       .localCheckpoint(true)
+    // maxBlockSize 64 for the warm run only: at 1/10 corpus size most
+    // blocks fall UNDER the default 1000 cap that drops them at full
+    // size, so the warm-up was generating ~7.8M raw pairs — nearly a
+    // full-size scoring run (233 s untimed on the 1-thread leg). A 64
+    // cap keeps every kernel/codegen path hot (still ~10^5 pairs, well
+    // past C2 thresholds) at ~1/10 the wall.
     val warm = ResolvePipeline.run(spark, warmDocs,
-      PipelineConfig(numShufflePartitions = Some(par)))
+      PipelineConfig(numShufflePartitions = Some(par), maxBlockSize = 64))
     warm.pairScores.count()
     warm.assignments.select("cluster_id").distinct().count()
     // release the warm-up's pinned localCheckpoint blocks (warmDocs + the
@@ -251,27 +272,43 @@ object Bench {
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val docsPer = 4
 
-    // Host ceiling, measured AT DRAW TIME: the same production kernels on
-    // zero-shared-state thread-local pairs (HostScalingProbe's workload,
-    // compacted). Any departure from 1.0 here is the machine — vCPU
-    // co-scheduling, neighbor tenants, frequency scaling — not the
-    // engine; single-threaded cache-resident microbenchmarks on this box
-    // vary ±40% run-to-run, so the ceiling must ride the artifact rather
-    // than live in a doc written on a different day.
+    // Host ceiling, measured AT DRAW TIME with the JOB'S memory-access
+    // pattern: the production kernels over a SHARED dim-sized name array,
+    // each thread scanning a sliding pair window — the scoring stage's
+    // shape (sorted pair scan probing a shared ~72 MB broadcast dim).
+    // The r04 probe scored one thread-local L1-resident pair forever and
+    // measured ~1.0 at any thread count, which overstates what this
+    // machine permits for the real job: with the shared-dim pattern the
+    // same kernels measure ~0.88 at 1->4 threads (tools/
+    // KernelPatternProbe: fixed 1.06, thread-local arrays 0.98, shared
+    // array windowed 0.88, shared random 0.79) — that remaining gap is
+    // the shared memory system, not the engine, and it is the number a
+    // sub-gate draw should be judged against. Any departure from 1.0
+    // here is the machine — LLC/DRAM contention, vCPU co-scheduling,
+    // neighbor tenants — not the engine; single-threaded microbenchmarks
+    // on this box vary ±40% run-to-run, so the ceiling must ride the
+    // artifact rather than live in a doc written on a different day.
+    val probeNames: Array[org.apache.spark.unsafe.types.UTF8String] = {
+      val rng = new scala.util.Random(42)
+      Array.fill(160000)(org.apache.spark.unsafe.types.UTF8String.fromString(
+        (0 until 68).map(_ => rng.alphanumeric.take(6).mkString.toLowerCase)
+          .mkString(" ")))
+    }
     def probeRate(threads: Int, secs: Int): Double = {
       import java.util.concurrent.atomic.AtomicLong
       val stop = new AtomicLong(0)
       val ops = new AtomicLong(0)
+      val n = probeNames.length
       val ts = (0 until threads).map { tid =>
         new Thread(() => {
           val rng = new scala.util.Random(1000 + tid)
-          def tokens(k: Int) = (0 until k)
-            .map(_ => rng.alphanumeric.take(6).mkString.toLowerCase).mkString(" ")
-          val a = org.apache.spark.unsafe.types.UTF8String.fromString(tokens(64))
-          val b = org.apache.spark.unsafe.types.UTF8String.fromString(tokens(64))
+          var i = rng.nextInt(n)
           var local = 0L
           var sink = 0.0
           while (stop.get() == 0) {
+            i = (i + 1) % n
+            val a = probeNames(i)
+            val b = probeNames((i + 1 + rng.nextInt(50)) % n)
             sink += graft.sim.SimKernels.levSim(a, b)
             sink += graft.sim.SimKernels.jaroWinkler(a, b)
             sink += graft.sim.SimKernels.tokenJaccard(a, b)
@@ -401,9 +438,10 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "4").toInt
     val scaling =
       f"""{"docs":$docsN,"pairs_scored":$pairs4N,"n_cores":$nCores,
-         |"leg_isolation":"$legIsolation",
+         |"leg_isolation":"$legIsolation","shuffle_partitions":$scaleParts,
          |"t_localN_sec":$tN%.2f,"t_local4N_sec":$t4N%.2f,
          |"docs_per_sec_N":${docsN / tN}%.0f,"docs_per_sec_4N":${docsN / t4N}%.0f,
          |"pairs_scored_per_sec_N":${pairsN / tN}%.0f,"pairs_scored_per_sec_4N":${pairs4N / t4N}%.0f,

@@ -68,7 +68,30 @@ object CandidateGenerator {
     * it where hot keys must be kept rather than dropped.
     */
   def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000,
-                     saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame = {
+                     saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame =
+    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets).distinct()
+
+  /** [[candidatePairs]] with the pair PACKED into one long:
+    * pk = doc_id_a << 31 | doc_id_b. Caller contract: doc_id is an
+    * integral column with non-negative values < 2^31 (the pipeline's
+    * dense surrogates). Everything the distinct touches halves —
+    * exchange rows are one fixed-width long instead of two, the
+    * aggregate hash table keys/compares a single word, and a downstream
+    * sort on pk is a one-key radix sort whose order equals (a, b) order.
+    * The pair SET is identical to [[candidatePairs]]' (pack is a
+    * bijection on a < b pairs in range).
+    */
+  def candidatePairsPacked(keys: DataFrame, maxBlockSize: Int = 1000,
+                           saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame =
+    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets)
+      .select(shiftleft(col("doc_id_a"), 31).bitwiseOR(col("doc_id_b")).as("pk"))
+      .distinct()
+
+  /** The pre-distinct candidate stream (one row per pair PER shared
+    * under-cap block); see [[candidatePairs]] for the skew policy.
+    */
+  private def rawPairs(keys: DataFrame, maxBlockSize: Int,
+                       saltedMaxBlockSize: Int, saltBuckets: Int): DataFrame = {
     // validated at the API boundary: saltBuckets = 0 would otherwise fail
     // minutes later inside the join job (pmod by zero under ANSI mode)
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
@@ -104,7 +127,7 @@ object CandidateGenerator {
           .select("doc_id_a", "doc_id_b")
         smallPairs.union(hotPairs)
       }
-    pairs.distinct()
+    pairs
   }
 
   /** Block-size metrics for lineage/monitoring (dropped keys are a

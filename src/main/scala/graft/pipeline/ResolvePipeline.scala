@@ -127,7 +127,16 @@ final case class PipelineResult(
 
 object ResolvePipeline {
 
-  private val profile = sys.env.contains("GRAFT_PROFILE")
+  /** Fine-grained scaling attribution (dev-only): additionally times the
+    * scoring stage's sub-steps — candidate distinct, kernels-only pass,
+    * cache-build — and each blocking strategy's key table separately, by
+    * materializing them one at a time before the production pass. The
+    * extra actions distort the STAGE totals (sub-steps run once each on
+    * their own), so this is never on in a recorded run; each sub-number
+    * is individually clean.
+    */
+  private val fine = sys.env.contains("GRAFT_PROFILE_FINE")
+  private val profile = sys.env.contains("GRAFT_PROFILE") || fine
   private def timed[T](name: String)(f: => T): T = {
     if (!profile) f
     else {
@@ -352,10 +361,12 @@ object ResolvePipeline {
     // Output equality of the two paths is pinned by ResolveJobSpec's
     // checkpointed == direct test and the q04/q05/q29/q60 oracles.
     val useDids = store.isEmpty
-    // Surrogates are minted in doc_id order — the name dim is FROZEN
-    // range-sorted (see the orderBy at its localCheckpoint) and
-    // monotonically_increasing_id over that frozen scan is ascending
-    // within partitions and across partition indices, which buys two
+    // Surrogates are minted DENSE (0..n-1) in doc_id order — the name dim
+    // is FROZEN range-sorted (see the orderBy at its localCheckpoint);
+    // partition sizes of that frozen layout are read with one tiny
+    // grouped count, prefix-summed on the driver, and dense id =
+    // partition offset + monotonically_increasing_id's lower 33 bits
+    // (the partition-local counter). Dense doc_id-ordered ids buy three
     // properties:
     //  - ORDER ISOMORPHISM: __did < __did' iff doc_id < doc_id' (binary
     //    string order), so a min/least over surrogates corresponds to the
@@ -370,10 +381,30 @@ object ResolvePipeline {
     //    high parallelism was exactly those whole-table random reads
     //    (profiled: scoring-stage CPU 297 s -> 376 thread-s from 1 to 4
     //    threads on identical work while the kernels alone scale at 0.95).
-    val namesKeyed =
-      if (useDids) names.withColumn("__did", monotonically_increasing_id())
-      else names
+    //    Density also lets the long-keyed broadcast relations use their
+    //    dense-array fast path (probe = array index, not open hashing).
+    //  - PAIR PACKING: with n < 2^31 both ids of a pair fit one long
+    //    (pk = a << 31 | b), halving what the candidate distinct hashes,
+    //    exchanges and sorts — see CandidateGenerator.candidatePairsPacked.
+    //    Corpora beyond 2^31 entities fall back to the two-column path.
+    val (namesKeyed, nReps) =
+      if (useDids) {
+        val counts = names.groupBy(spark_partition_id().as("__p"))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val offsets = counts.map(_._1)
+          .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+        val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+          when(spark_partition_id() === p, lit(off)).otherwise(acc)
+        }
+        (names.withColumn("__did", offsetExpr +
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
+          counts.map(_._2).sum)
+      } else (names, -1L)
     val joinId = if (useDids) "__did" else "doc_id"
+    // pk packing needs every id < 2^31; the orphan fallback composes on
+    // the two-column shape, so it keeps the unpacked path
+    val packed = useDids && nReps < (1L << 31) && !cfg.orphanFallback
     // the key builders and CandidateGenerator are id-type-agnostic: feed
     // them the join id in the doc_id slot
     val keySource =
@@ -418,6 +449,9 @@ object ResolvePipeline {
     val keys = store match {
       case Some(_) => stage("blocking_keys", fpKeys)(keyTables.reduce(_ union _))
       case None => timed("keys.materialize") {
+        if (fine) keyTables.zipWithIndex.foreach { case (kt, i) =>
+          timed(s"fine.keys.strategy$i.count")(kt.count())
+        }
         // columnar cache, not RDD localCheckpoint: the cache stores
         // ~10k-row compressed column batches (dictionary/RLE on the key
         // strings) instead of one heap object per row. Measured on the
@@ -439,7 +473,10 @@ object ResolvePipeline {
     val candStats = () => timed("stats")(
       CandidateGenerator.stats(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize))
     val blockedPairs = stage("candidate_pairs", fpPairs) {
-      CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
+      if (packed)
+        CandidateGenerator.candidatePairsPacked(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
+      else
+        CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
     }
 
     // ---- B4, bounded (api/EntityResolutionService.java:512-524): the
@@ -527,10 +564,16 @@ object ResolvePipeline {
     // locality-dense, see namesKeyed) instead of random-accessing the
     // whole table on every row — at 4+ threads those whole-table random
     // reads thrash the shared last-level cache and were the measured
-    // per-core inflation. Radix sort over two fixed-width longs in the
-    // same stage as the distinct's final aggregate; no extra exchange.
+    // per-core inflation. In packed mode this is a ONE-key radix sort on
+    // pk (whose order equals (a, b) order) with the ids unpacked by two
+    // bit ops in the same projection; no extra exchange either way.
     val pairsScanned =
-      if (useDids) pairs.sortWithinPartitions("doc_id_a", "doc_id_b") else pairs
+      if (packed)
+        pairs.sortWithinPartitions("pk")
+          .select(shiftright(col("pk"), 31).as("doc_id_a"),
+            col("pk").bitwiseAND(lit((1L << 31) - 1)).as("doc_id_b"))
+      else if (useDids) pairs.sortWithinPartitions("doc_id_a", "doc_id_b")
+      else pairs
     val scoredPlan = pairsScanned
       .join(a, Seq("doc_id_a"))
       .join(b, Seq("doc_id_b"))
@@ -566,13 +609,33 @@ object ResolvePipeline {
     val pairScores = store match {
       case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
       case None => timed("pairScores.materialize") {
+        if (fine) {
+          // raw (pre-distinct) pair volume: sum n*(n-1)/2 over kept blocks
+          val kept = keys.groupBy("block_key").agg(count(lit(1)).as("n"))
+            .where(col("n") <= cfg.maxBlockSize)
+            .agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
+          System.err.println(s"[pipeline] fine.rawPairsUpperBound: ${kept.get(0)}")
+          // D: candidate distinct + columnar cache of the 16-byte pairs
+          timed("fine.pairs.distinct+cache") { pairs.persist(); pairs.count() }
+          // J0: join skeleton only — count(1) prunes every kernel column,
+          // so this times the sorted scan + the two dim probes alone
+          timed("fine.score.joinSkeleton") {
+            scoredPlan.select("doc_id_a", "doc_id_b")
+              .agg(count(lit(1))).collect()
+          }
+          // J: the same plan with the kernels forced (sum(score) keeps
+          // lev/jw/jaccard alive through pruning), still no row store
+          timed("fine.score.withKernels") {
+            scoredPlan.agg(sum(col("score")), count(lit(1))).collect()
+          }
+        }
         // columnar cache for the pipeline's WIDEST materialization (see
         // keys above for the measured localCheckpoint anti-scaling).
         // pairScores compresses exceptionally well columnar: `decision`
         // is 3-valued RLE, ids dictionary-encode, and the count() the
         // callers do reads batch row counts without touching data.
         val p = scoredPlan.persist()
-        p.count()
+        timed("fine.persist.build")(p.count())
         p
       }
     }

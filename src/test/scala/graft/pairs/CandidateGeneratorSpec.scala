@@ -32,6 +32,25 @@ class CandidateGeneratorSpec extends AnyFunSuite {
     assert(st.oversizedKeys == 1 && st.droppedKeyRows == 50)
   }
 
+  test("packed pairs encode exactly the plain pair set (salted included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // long ids, several shared blocks, one salted-range block
+    val keys = ((1 to 40).map(i => ("hot", i.toLong)) ++
+      Seq(("k1", 3L), ("k1", 7L), ("k1", 50L), ("k2", 7L), ("k2", 50L)))
+      .toDF("block_key", "doc_id")
+    val plain = CandidateGenerator.candidatePairs(
+        keys, maxBlockSize = 10, saltedMaxBlockSize = 100, saltBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val packed = CandidateGenerator.candidatePairsPacked(
+        keys, maxBlockSize = 10, saltedMaxBlockSize = 100, saltBuckets = 3)
+      .select(shiftright(col("pk"), 31).as("a"),
+        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed == plain)
+    assert(plain.nonEmpty && plain.forall { case (a, b) => a < b })
+  }
+
   test("salted pair generation produces the exact same pair set as unsalted") {
     val keys = keysDF((1 to 60).map(i => ("hot", f"d$i%03d")))
     val unsalted = CandidateGenerator.candidatePairs(keys, maxBlockSize = 1000)
