@@ -74,6 +74,18 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("packed candidate distinct aggregates on the single packed long") {
+    import spark.implicits._
+    val keys = Seq(("k1", 3L), ("k1", 7L), ("k1", 9L), ("k2", 7L), ("k2", 9L))
+      .toDF("block_key", "doc_id")
+    val p = graft.pairs.CandidateGenerator.candidatePairsPacked(keys)
+    assert(p.columns.toSeq == Seq("pk"))
+    val plan = p.queryExecution.executedPlan.toString
+    // one grouping key (pk), never the two-column (doc_id_a, doc_id_b) form
+    assert(plan.contains("keys=[pk"), plan)
+    assert(!plan.contains("keys=[doc_id_a"), plan)
+  }
+
   test("orphan fallback: capped sample side is broadcast") {
     import org.apache.spark.sql.functions._
     val docs = graft.gen.DocGen.corpusDF(spark, 10, 2).select("doc_id", "spans")
