@@ -51,7 +51,7 @@ object Bench {
       corpusDir: Option[String] = None, warmDir: Option[String] = None): (Double, Long, Long) = {
     val filler = sys.env.getOrElse("SPARK_GRAFT_FILLER", "64").toInt
     // Task sizing: IDENTICAL shuffle partitioning at BOTH parallelism
-    // levels (default 8 = 2 waves on the 4N leg), because that is what
+    // levels, because that is what
     // the comparison claims to model — on a real cluster the job's
     // partitioning does not change when executors are added; only the
     // number of concurrent tasks does. The previous partitions == cores
