@@ -121,30 +121,31 @@ object ConnectedComponents {
     // add a full-width shuffle and two driver actions over the WIDEST
     // edge set of the whole loop for nothing — an empty input simply
     // yields an empty pre-pass result, which the star-forest test reports
-    // as converged (vacuously a star forest). The pre-pass runs under the
-    // caller's no-coalescing policy at full parallelism; coalescing turns
-    // on below, for the contracted tail only.
-    val t0 = System.nanoTime()
-    var e = smallStar(
-        edges.select(col("src"), col("dst")).where(col("src") =!= col("dst")))
-      .localCheckpoint(true)
-    var converged = isStarForest(e)
-    if (profile) System.err.println(
-      f"[cc] smallStar pre-pass: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
-    // The alternating loop below is SHUFFLE-bound over a geometrically
-    // CONTRACTING edge set — so the pipeline's global "coalescing off"
-    // rationale (similarity kernels collapse to too few tasks) does not
-    // apply, while its cost does: ~8 shuffles per iteration each at the
-    // full session partition count over an ever-shrinking table is pure
-    // task-scheduling overhead by the later rounds. AQE partition
-    // coalescing is exactly the right policy for the tail at every scale
-    // (billions of edges stay wide; the contracted tail collapses).
-    // Scoped with try/finally; the returned labels plan is lazy and
-    // evaluates under the caller's conf.
+    // as converged (vacuously a star forest).
+    //
+    // The whole CC computation — pre-pass included — is SHUFFLE-bound
+    // over edge tables, never kernel-bound, so the pipeline's global
+    // "coalescing off" rationale (similarity kernels collapse to too few
+    // tasks) does not apply anywhere in this loop, while its cost does:
+    // ~8 shuffles per step each at the full session partition count over
+    // small-to-shrinking tables is pure task-scheduling overhead. AQE
+    // partition coalescing is the right policy at every scale (billions
+    // of edges stay wide — coalescing is a no-op there; the contracted
+    // tail collapses). Scoped with try/finally; the returned labels plan
+    // is lazy and evaluates under the caller's conf.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
-    if (!converged) spark.conf.set(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "true")
+    var e: DataFrame = null
+    var converged = false
     try {
+    val t0 = System.nanoTime()
+    e = smallStar(
+        edges.select(col("src"), col("dst")).where(col("src") =!= col("dst")))
+      .localCheckpoint(true)
+    converged = isStarForest(e)
+    if (profile) System.err.println(
+      f"[cc] smallStar pre-pass: ${(System.nanoTime() - t0) / 1e9}%.2f s, converged=$converged")
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint(true)

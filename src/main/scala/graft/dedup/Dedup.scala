@@ -329,7 +329,11 @@ object Dedup {
   private def fusedHammingPairs(keys: DataFrame, maxHamming: Int,
                                 maxBlockSize: Int): DataFrame = {
     val ok = graft.pairs.CandidateGenerator.underCapBlocks(keys, maxBlockSize)
-    val l = keys.join(ok, Seq("block_key"))
+    // cap applied to ONE side only (same argument as CandidateGenerator.
+    // rawPairs): the equi-join on block_key means a pair survives iff its
+    // block is under-cap on the filtered side; filtering both sides costs
+    // a second cap semi-join evaluation for an identical pair set
+    val l = keys
       .select(col("block_key"), col("doc_id").as("doc_id_a"), col("simhash").as("sh_a"))
     val r = keys.join(ok, Seq("block_key"))
       .select(col("block_key"), col("doc_id").as("doc_id_b"), col("simhash").as("sh_b"))

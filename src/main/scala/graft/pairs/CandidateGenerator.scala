@@ -67,9 +67,26 @@ object CandidateGenerator {
     * Defaults keep salting off (saltedMaxBlockSize = maxBlockSize); raise
     * it where hot keys must be kept rather than dropped.
     */
+  /** When a caller KNOWS the key table is broadcast-sized (it usually
+    * does — the pipeline counts the materialized key table right before
+    * pair generation), an explicit hint beats leaving the choice to
+    * size estimates: the static planner cannot estimate through the
+    * union/aggregate shapes here, plans a sort-merge join, and AQE only
+    * converts it to broadcast AFTER materializing the exchange — so the
+    * whole key table is exchanged and the work thrown away (measured:
+    * two ~30 cpu-s abandoned exchange stages per pipeline run at sf0.1).
+    * Guide §3.1: "estimates are often badly wrong … use an explicit
+    * broadcast hint when you know a side is small". 2M key rows is
+    * ~100-150 MB as a hashed relation at typical key widths — well under
+    * the 8 GB / 512M-row broadcast cap; callers above the bound pass
+    * false and keep the exchange-based plan AQE can still optimize.
+    */
+  val BroadcastKeysMaxRows: Long = 2000000L
+
   def candidatePairs(keys: DataFrame, maxBlockSize: Int = 1000,
-                     saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame =
-    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets).distinct()
+                     saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16,
+                     hintBroadcast: Boolean = false): DataFrame =
+    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets, hintBroadcast).distinct()
 
   /** [[candidatePairs]] with the pair PACKED into one long:
     * pk = doc_id_a << 31 | doc_id_b. Caller contract: doc_id is an
@@ -82,28 +99,50 @@ object CandidateGenerator {
     * bijection on a < b pairs in range).
     */
   def candidatePairsPacked(keys: DataFrame, maxBlockSize: Int = 1000,
-                           saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16): DataFrame =
-    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets)
-      .select(shiftleft(col("doc_id_a"), 31).bitwiseOR(col("doc_id_b")).as("pk"))
+                           saltedMaxBlockSize: Int = -1, saltBuckets: Int = 16,
+                           hintBroadcast: Boolean = false): DataFrame =
+    rawPairs(keys, maxBlockSize, saltedMaxBlockSize, saltBuckets, hintBroadcast)
+      // explicit long casts: shiftleft on an IntegerType id would return
+      // int and silently overflow for any id >= 1 — the pipeline always
+      // passes longs, but the API contract ("integral column < 2^31")
+      // invites int callers
+      .select(shiftleft(col("doc_id_a").cast("long"), 31)
+        .bitwiseOR(col("doc_id_b").cast("long")).as("pk"))
       .distinct()
 
   /** The pre-distinct candidate stream (one row per pair PER shared
     * under-cap block); see [[candidatePairs]] for the skew policy.
     */
   private def rawPairs(keys: DataFrame, maxBlockSize: Int,
-                       saltedMaxBlockSize: Int, saltBuckets: Int): DataFrame = {
+                       saltedMaxBlockSize: Int, saltBuckets: Int,
+                       hintBroadcast: Boolean = false): DataFrame = {
     // validated at the API boundary: saltBuckets = 0 would otherwise fail
     // minutes later inside the join job (pmod by zero under ANSI mode)
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    // see BroadcastKeysMaxRows: the hint is opt-in by callers that have
+    // measured the key table; it never changes the pair set, only the
+    // join strategy
+    def bc(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val saltedMax = if (saltedMaxBlockSize < maxBlockSize) maxBlockSize else saltedMaxBlockSize
     val sized = keys.groupBy("block_key").agg(count(lit(1)).as("block_n"))
 
+    // The block-size cap is applied to ONE side of the self-join only:
+    // the pair join is an equi-join on block_key, so a pair survives iff
+    // its block is in the under-cap set on the filtered side — filtering
+    // the other side too is redundant (identical pair set) and costs a
+    // second evaluation of the cap semi-join plus an extra hash join on
+    // the streamed side (measured 2.5x the whole raw-pair stage on the
+    // sf0.1 pipeline: the unfiltered self-join runs 0.25 s where the
+    // both-sides-capped shape ran 1.2 s). Oversized-block rows on the
+    // unfiltered side probe the build relation and find no match — the
+    // quadratic-blowup guard is intact because no oversized block ever
+    // enters the build side.
     val small = keys.join(
-      sized.where(col("block_n") <= maxBlockSize).select("block_key"),
+      bc(sized.where(col("block_n") <= maxBlockSize).select("block_key")),
       Seq("block_key"))
-    val l = small.select(col("block_key"), col("doc_id").as("doc_id_a"))
+    val l = keys.select(col("block_key"), col("doc_id").as("doc_id_a"))
     val r = small.select(col("block_key"), col("doc_id").as("doc_id_b"))
-    val smallPairs = l.join(r, Seq("block_key"))
+    val smallPairs = l.join(bc(r), Seq("block_key"))
       .where(col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b")
 
@@ -111,8 +150,8 @@ object CandidateGenerator {
       if (saltedMax == maxBlockSize) smallPairs
       else {
         val hot = keys.join(
-          sized.where(col("block_n") > maxBlockSize && col("block_n") <= saltedMax)
-            .select("block_key"),
+          bc(sized.where(col("block_n") > maxBlockSize && col("block_n") <= saltedMax)
+            .select("block_key")),
           Seq("block_key"))
         val s = saltBuckets
         // left replicated per target bucket; right keyed by its own salt

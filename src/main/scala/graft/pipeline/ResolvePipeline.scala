@@ -162,12 +162,27 @@ object ResolvePipeline {
     // partition coalescing: the engine's stages are CPU-bound per row
     // (similarity kernels), and byte-based coalescing collapses them to a
     // handful of tasks (observed 2-task 8s stages on a 32-core box).
+    // The conf mutations are SCOPED to this call (snapshot + finally
+    // restore): every materialization this function performs — keys,
+    // pairs, pairScores, CC — runs under the pipeline policy, while the
+    // lazy outputs (cluster expansion, metrics) evaluate under the
+    // caller's own session policy. Without the restore, one pipeline run
+    // permanently disabled AQE partition coalescing for every later query
+    // in the session (measured: the whole bench sweep ran its small
+    // shuffles at the full session partition count).
+    val scopedConfs = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold") ++
+      cfg.numShufflePartitions.map(_ => "spark.sql.shuffle.partitions")
+    val prevConfs = scopedConfs.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
       cfg.adaptiveBroadcastThreshold)
     cfg.numShufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
     val store = cfg.checkpointRoot.map(new StageStore(_, spark))
     // Stage fingerprints are DEPENDENCY-SCOPED and chained: each stage's
     // fingerprint = its upstream stage's fingerprint + only the config
@@ -392,11 +407,19 @@ object ResolvePipeline {
         val counts = names.groupBy(spark_partition_id().as("__p"))
           .agg(count(lit(1)).as("__n")).collect()
           .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val offsets = counts.map(_._1)
-          .zip(counts.map(_._2).scanLeft(0L)(_ + _))
-        val offsetExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-          when(spark_partition_id() === p, lit(off)).otherwise(acc)
-        }
+        // dense offset per partition id, looked up O(1) via an array
+        // literal — the previous nested when/otherwise chain was
+        // O(#partitions) deep, evaluated per row, and codegen-bloat
+        // territory at production partition counts (ADVICE r05). Missing
+        // partition ids (empty partitions are absent from the grouped
+        // count) hold offset 0; they contribute no rows, so the value is
+        // never read.
+        val offArr = Array.fill(counts.map(_._1).maxOption.getOrElse(-1) + 1)(0L)
+        counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+          .foreach { case (p, off) => offArr(p) = off }
+        val offsetExpr =
+          if (counts.isEmpty) lit(0L)
+          else element_at(typedlit(offArr.toSeq), spark_partition_id() + 1)
         (names.withColumn("__did", offsetExpr +
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
           counts.map(_._2).sum)
@@ -446,8 +469,21 @@ object ResolvePipeline {
     // block sizing): materialize it once — as the parquet snapshot when
     // checkpointing, as an eager localCheckpoint otherwise. This also
     // avoids re-running the minhash shingle hashing per consumer.
+    // The 3-strategy union triples the upstream partition count (each
+    // strategy contributes its input's partitions), which is an artifact
+    // of the union, not a sizing decision — every later consumer of the
+    // key table then pays ~3x the per-task overhead (scan task setup,
+    // shuffle-file creation, broadcast access) for the same bytes.
+    // Coalesce (narrow, no shuffle) back to the session's shuffle
+    // parallelism: scale-adaptive by construction — the sweep's local
+    // session, the 4-partition scaling legs and a cluster-sized session
+    // each get their own target (measured at sf0.1: the packed candidate
+    // distinct drops ~40% when its source goes from 96 to 32 partitions).
+    val keyParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var keysRows = -1L
     val keys = store match {
-      case Some(_) => stage("blocking_keys", fpKeys)(keyTables.reduce(_ union _))
+      case Some(_) => stage("blocking_keys", fpKeys)(
+        keyTables.reduce(_ union _).coalesce(keyParts))
       case None => timed("keys.materialize") {
         if (fine) keyTables.zipWithIndex.foreach { case (kt, i) =>
           timed(s"fine.keys.strategy$i.count")(kt.count())
@@ -463,20 +499,54 @@ object ResolvePipeline {
         // replaces the subtree, so no consumer predicate reaches back
         // into the key-generation plan, and an evicted batch recomputes
         // the deterministic plan instead of failing the job.
-        val k = keyTables.reduce(_ union _).persist()
-        k.count()
+        val k = keyTables.reduce(_ union _).coalesce(keyParts).persist()
+        keysRows = k.count()
         k
       }
     }
+    // Measured-size broadcast decision for the candidate self-join (guide
+    // §3.1): the key table was just counted, so the driver KNOWS whether
+    // the build side is broadcast-sized — an explicit hint avoids the
+    // static planner's estimate-blind sort-merge plan whose exchanges AQE
+    // materializes and then abandons when it converts to broadcast. Above
+    // the row bound (true corpus scale) no hint is passed and the
+    // exchange-based plan stands.
+    val hintBroadcastPairs =
+      keysRows >= 0 && keysRows <= CandidateGenerator.BroadcastKeysMaxRows
 
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
     val candStats = () => timed("stats")(
       CandidateGenerator.stats(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize))
-    val blockedPairs = stage("candidate_pairs", fpPairs) {
+    val blockedPairsPlan = stage("candidate_pairs", fpPairs) {
       if (packed)
-        CandidateGenerator.candidatePairsPacked(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
+        CandidateGenerator.candidatePairsPacked(keys, cfg.maxBlockSize,
+          cfg.saltedMaxBlockSize, hintBroadcast = hintBroadcastPairs)
       else
-        CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize)
+        CandidateGenerator.candidatePairs(keys, cfg.maxBlockSize,
+          cfg.saltedMaxBlockSize, hintBroadcast = hintBroadcastPairs)
+    }
+    // Materialize the candidate distinct ONCE (columnar cache + count to
+    // build, like keys above; the StageStore snapshot already is that
+    // barrier in checkpoint mode). Without it the whole key-self-join +
+    // distinct subtree is evaluated up to THREE times per run: AQE plans
+    // the scoring stage's two name joins independently, and whichever
+    // side it decides to broadcast re-derives the pair table from scratch
+    // for its broadcast build (measured on the sf0.1 pipeline: three
+    // ~30 cpu-s stages scanning the keys cache — two feeding
+    // BroadcastExchanges, one the stream — for one logical distinct).
+    // The cache is one fixed-width column (pk long / two ids), so the
+    // memory cost is minimal at any scale and eviction just recomputes.
+    val blockedPairs = store match {
+      case Some(_) => blockedPairsPlan
+      case None => timed("pairs.materialize") {
+        val p = blockedPairsPlan.persist()
+        p.count()
+        if (sys.env.contains("GRAFT_EXPLAIN"))
+          System.err.println("[explain] pairs plan (executed):\n" +
+            p.queryExecution.executedPlan.toString.linesIterator
+              .take(80).mkString("\n"))
+        p
+      }
     }
 
     // ---- B4, bounded (api/EntityResolutionService.java:512-524): the
@@ -602,10 +672,6 @@ object ResolvePipeline {
     // skew-concentrated key stream (observed 17x blowup). With a
     // StageStore the parquet snapshot is that barrier; without one, an
     // eager localCheckpoint is.
-    if (sys.env.contains("GRAFT_EXPLAIN"))
-      System.err.println("[explain] scoring plan:\n" +
-        scoredPlan.queryExecution.executedPlan.toString.linesIterator
-          .take(60).mkString("\n"))
     val pairScores = store match {
       case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
       case None => timed("pairScores.materialize") {
@@ -636,6 +702,13 @@ object ResolvePipeline {
         // callers do reads batch row counts without touching data.
         val p = scoredPlan.persist()
         timed("fine.persist.build")(p.count())
+        // dev-only: the EXECUTED scoring plan, printed after the build so
+        // AQE's final stage choices (join strategies, cache hits) are
+        // visible rather than the pre-execution guess
+        if (sys.env.contains("GRAFT_EXPLAIN"))
+          System.err.println("[explain] scoring plan (executed):\n" +
+            p.queryExecution.executedPlan.toString.linesIterator
+              .take(150).mkString("\n"))
         p
       }
     }
@@ -744,5 +817,11 @@ object ResolvePipeline {
       case None => scoredEdges
     }
     PipelineResult(clusters, assignments, pairScores, mergeEdges, rejects, metrics, candStats)
+    } finally {
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 }
