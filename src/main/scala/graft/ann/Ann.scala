@@ -286,6 +286,29 @@ object Ann {
                      bands: Int = 1, maxBlockSize: Int = 1000000,
                      saltedMaxBlockSize: Int = -1): DataFrame = {
     val it = items.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    if (bands == 1 && saltedMaxBlockSize <= maxBlockSize) {
+      // FUSED single-band path: each vector has at most ONE band key, so
+      // within-bucket pairs are already unique — the generic route's
+      // distinct over the pair multiset plus the two joins that re-attach
+      // embeddings are pure overhead (3 extra shuffles for an identical
+      // result). Ride the embedding on the key table and verify inside
+      // the bucket join's generated code, like Dedup's fused simhash
+      // path. Cap semantics unchanged (per-bucket row count, applied to
+      // the build side only — see CandidateGenerator.rawPairs).
+      val keyed = it.where(size(col("emb")) > 0)
+        .select(signBucketAt(col("emb"), bits, 0).as("block_key"),
+          col("vid"), col("emb"))
+      val ok = graft.pairs.CandidateGenerator
+        .underCapBlocks(keyed.select("block_key"), maxBlockSize)
+      val l = keyed.select(col("block_key"), col("vid").as("id_a"), col("emb").as("emb_a"))
+      val r = keyed.join(ok, Seq("block_key"))
+        .select(col("block_key"), col("vid").as("id_b"), col("emb").as("emb_b"))
+      l.join(r, Seq("block_key"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+        .where(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    } else {
     // a band whose offset reaches the embedding's length would slice an
     // EMPTY sign prefix — every row would share the degenerate key
     // "<b>:", one corpus-wide block (all-pairs below the cap, silently
@@ -307,6 +330,7 @@ object Ann {
       .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    }
   }
 
   // ------------------------------------------ incremental cosine near-dup

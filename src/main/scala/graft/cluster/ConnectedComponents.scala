@@ -55,11 +55,20 @@ object ConnectedComponents {
 
   /** Large-star: connect every neighbor v > u to the min of u's
     * neighborhood (including u).
+    *
+    * LOOP-INTERNAL CONTRACT (both call sites are smallStar outputs): the
+    * input is a DISTINCT set of strictly larger->smaller edges. Under
+    * that invariant `e ∪ swap(e)` is tuple-distinct by construction, so
+    * the exchange a distinct would cost here dedups nothing; and the
+    * OUTPUT is allowed to be a multiset — its only consumer is
+    * smallStar, whose first distinct partial-aggregates map-side, so
+    * duplicate rows are absorbed before they reach a shuffle. Removing
+    * both distincts cuts two full-width exchanges per iteration at any
+    * scale.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val und = e.select("src", "dst")
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
     val mins = und.groupBy("src")
       .agg(min("dst").as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
@@ -67,7 +76,6 @@ object ConnectedComponents {
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: orient edges large -> small, connect all smaller
@@ -133,6 +141,10 @@ object ConnectedComponents {
     // of edges stay wide — coalescing is a no-op there; the contracted
     // tail collapses). Scoped with try/finally; the returned labels plan
     // is lazy and evaluates under the caller's conf.
+    // AQE stays ON through the loop: it was A/B-measured essential here
+    // (static planning re-runs every iteration's shuffles at the full
+    // session partition count — q72's CC measured 2-3x slower with AQE
+    // disabled in-loop, the opposite of the planning-latency hypothesis).
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "true")

@@ -116,6 +116,16 @@ object Dedup {
   private def verifyFromSets(pairs: DataFrame, sets: DataFrame,
                              threshold: Double,
                              maxShingles: Int = DefaultMaxShingles): DataFrame = {
+    // Pin the verify join's parallelism: the candidate-pair table is a
+    // few BYTES per row but each row costs an O(|set|) intersect, so AQE's
+    // byte-based partition coalescing collapses the verify to one task
+    // (measured: the whole q18 verify single-threaded). An explicit
+    // numPartitions survives AQE (user-specified counts are not
+    // coalesced), and hash-partitioning on the join key means that when
+    // the sets are too big to broadcast the exchange doubles as the
+    // verify join's own left exchange — no extra shuffle at scale.
+    val parts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairsPinned = pairs.repartition(parts, col("doc_id_a"))
     val withN =
       if (sets.columns.contains("__n")) sets
       else sets.withColumn("__n", size(col("__s")))
@@ -132,7 +142,7 @@ object Dedup {
     val sketchJ =
       size(array_intersect(array_intersect(u, col("s_a")), col("s_b")))
         .cast("double") / size(u).cast("double")
-    pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
+    pairsPinned.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("jaccard",
         when(col("n_a") <= maxShingles && col("n_b") <= maxShingles, exactJ)
           .otherwise(sketchJ))
