@@ -45,12 +45,21 @@ object ConnectedComponents {
     */
   private def isStarForest(e: DataFrame): Boolean = {
     val misoriented = e.where(col("dst") >= col("src")).select(lit(1).as("v"))
-    val chained = e.join(
-      e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+    // (b) and (c) fold into ONE partial-aggregating groupBy over edge
+    // endpoints: a node violates iff it appears as a source more than
+    // once (multi-root) or as both a source and a destination (two-hop
+    // chain). The previous formulation paid a distinct + a semi-join + a
+    // separate groupBy — three exchanges per convergence check vs one,
+    // and the check runs every iteration. (`e` is a distinct edge set —
+    // the loop's localCheckpointed smallStar output — so row counts ARE
+    // edge counts.)
+    val roles = e.select(col("src").as("node"), lit(1L).as("s"), lit(0L).as("d"))
+      .union(e.select(col("dst").as("node"), lit(0L).as("s"), lit(1L).as("d")))
+      .groupBy("node").agg(sum("s").as("ns"), sum("d").as("nd"))
+    val badNodes = roles
+      .where(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
       .select(lit(1).as("v"))
-    val multiRoot = e.groupBy("src").agg(count(lit(1)).as("n"))
-      .where(col("n") > 1).select(lit(1).as("v"))
-    misoriented.union(chained).union(multiRoot).limit(1).isEmpty
+    misoriented.union(badNodes).limit(1).isEmpty
   }
 
   /** Large-star: connect every neighbor v > u to the min of u's
