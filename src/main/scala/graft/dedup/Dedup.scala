@@ -20,6 +20,15 @@ import graft.blocking.BlockingKeys
   */
 object Dedup {
 
+  /** |A ∩ B| of two sorted distinct long-array columns via the native
+    * merge-scan kernel (see [[SortedLongIntersectCountExpr]]).
+    */
+  private def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SortedLongIntersectCountExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Exact dedup by content hash. Returns (doc_id, content_hash, keeper,
     * is_dup). One shuffle on the hash; at 100 TB this is the cheapest
     * possible dedup (hash computed in the scan stage, partial-aggregated).
@@ -129,11 +138,19 @@ object Dedup {
     val withN =
       if (sets.columns.contains("__n")) sets
       else sets.withColumn("__n", size(col("__s")))
-    val a = withN.select(col("doc_id").as("doc_id_a"), col("__s").as("s_a"),
+    // sort each doc's set ONCE, below the join (per sets row, not per
+    // pair row): the intersect size is then a zero-allocation merge scan
+    // per pair ([[IntersectKernel]]) instead of array_intersect's
+    // per-pair hash-set build — the measured CPU hotspot of every
+    // near-dup verify (31 cpu-s on q72's verify stage at sf0.1).
+    // Sorting permutes set CONTENT only; every consumer below
+    // (intersect count, sizes, bottom-k re-mix) is order-insensitive,
+    // so results are bit-identical.
+    val a = withN.select(col("doc_id").as("doc_id_a"), array_sort(col("__s")).as("s_a"),
       coalesce(col("__n"), size(col("__s"))).as("n_a"))
-    val b = withN.select(col("doc_id").as("doc_id_b"), col("__s").as("s_b"),
+    val b = withN.select(col("doc_id").as("doc_id_b"), array_sort(col("__s")).as("s_b"),
       coalesce(col("__n"), size(col("__s"))).as("n_b"))
-    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("double")
+    val inter = sortedIntersectCount(col("s_a"), col("s_b")).cast("double")
     val exactJ =
       inter / ((size(col("s_a")) + size(col("s_b"))).cast("double") - inter)
     // bottom-k estimate: the K mix-order-smallest of the union of the two
@@ -142,10 +159,17 @@ object Dedup {
     val sketchJ =
       size(array_intersect(array_intersect(u, col("s_a")), col("s_b")))
         .cast("double") / size(u).cast("double")
+    // EvalOnce fence: without it Catalyst substitutes the jaccard alias
+    // into the filter and pushes it into the verify join as a residual
+    // predicate — the whole CASE (kernel intersect, and the bottom-k
+    // union sketch on the capped branch) then runs once per joined row
+    // in the join AND once more in the projection for survivors
+    // (measured: two ~12 cpu-s stages on q72's verify for one logical
+    // pass). The fence keeps one evaluation; same rows, same values.
     pairsPinned.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-      .withColumn("jaccard",
+      .withColumn("jaccard", graft.util.EvalOnce(
         when(col("n_a") <= maxShingles && col("n_b") <= maxShingles, exactJ)
-          .otherwise(sketchJ))
+          .otherwise(sketchJ)))
       .where(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
@@ -164,7 +188,15 @@ object Dedup {
                       threshold: Double = 0.7, maxBlockSize: Int = 10000,
                       maxShingles: Int = DefaultMaxShingles): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // materialize the band-key table once: it feeds the block-size count
+    // AND both sides of the candidate self-join — left lazy, the whole
+    // shingle+minhash keygen over the text re-evaluates up to three
+    // times per run (seen in the executed q72 plan: three FileScan →
+    // minhash_band_keys subtrees). Same materialization profile as the
+    // operator's existing shingle-set checkpoint in the verify step
+    // (both are O(corpus) intermediates of an eager batch operator).
     val keys = BlockingKeys.minhashKeyTable(base, "doc_id", col("text"))
+      .localCheckpoint(true)
     val pairs = graft.pairs.CandidateGenerator.candidatePairs(keys, maxBlockSize)
     verifyShingleJaccard(pairs, base, threshold, maxShingles)
   }

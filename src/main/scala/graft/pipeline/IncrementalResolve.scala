@@ -74,7 +74,19 @@ object IncrementalResolve {
       .unionByName(newNewEdges.select("src", "dst"))
     val clusterReps = existing.select(col("cluster_id").as("doc_id")).distinct()
     val vertices = newIds.select("doc_id").unionByName(clusterReps).distinct()
-    val cc = ConnectedComponents.run(spark, contracted, vertices)
+    // Materialize the contracted component labels: they feed THREE
+    // downstream subtrees (new-doc assignments, the old-label remap and
+    // the relabel delta), and CC.run returns a LAZY labels plan — without
+    // the barrier each consumer re-evaluates the labels aggregation plus
+    // the whole vertex universe (newIds ∪ existing-reps distinct, i.e. a
+    // scan of the existing assignment table) from scratch (measured: 3
+    // identical ~2.7 cpu-s stages per q65 run at sf0.1). The table is
+    // O(touched clusters + increment) rows by construction — the whole
+    // point of contracted-graph attach — so the eager materialization is
+    // small at any corpus scale, and localCheckpoint blocks are released
+    // by the context cleaner when the increment's frames go out of scope
+    // (unlike persist(), safe for per-micro-batch streaming callers).
+    val cc = ConnectedComponents.run(spark, contracted, vertices).localCheckpoint(true)
     // new docs take their component label directly; existing docs remap
     // through their old label's new component label (identity when the
     // cluster was untouched)

@@ -153,4 +153,60 @@ class DedupSpec extends AnyFunSuite {
       .select("jaccard").as[Double].collect()
     assert(smallPair.sameElements(Array(1.0)))
   }
+
+  test("sorted-merge intersect kernel == array_intersect on random long sets") {
+    // property parity for the verify hot path's native kernel
+    // (SortedLongIntersectCountExpr): |A ∩ B| via the sorted merge scan
+    // must equal size(array_intersect) for any pair of SETS, including
+    // empty and disjoint ones — and the derived exact Jaccard must be
+    // bit-identical to the formulation it replaced.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val n = rnd.nextInt(50)
+      val m = rnd.nextInt(50)
+      // overlapping universes so intersections are non-trivial
+      val a = Seq.fill(n)(rnd.nextInt(60).toLong).distinct
+      val b = Seq.fill(m)(rnd.nextInt(60).toLong).distinct
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), array_sort(col("a")).as("sa"), array_sort(col("b")).as("sb"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val kernel = Bridge.column(SortedLongIntersectCountExpr(
+      Bridge.expression(col("sa")), Bridge.expression(col("sb"))))
+    val mismatch = df
+      .withColumn("k", kernel)
+      .withColumn("ref", size(array_intersect(col("sa"), col("sb"))))
+      .where(col("k") =!= col("ref"))
+      .count()
+    assert(mismatch == 0L)
+    // null propagation parity: either side null -> null, like
+    // size(array_intersect) (size with legacy=false yields null on null)
+    val nulls = Seq((1L, Some(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (2L, Option.empty[Seq[Long]], Some(Seq(1L))),
+      (3L, Option.empty[Seq[Long]], Option.empty[Seq[Long]]))
+      .toDF("id", "sa", "sb")
+    val kNulls = nulls.select(Bridge.column(SortedLongIntersectCountExpr(
+      Bridge.expression(col("sa")), Bridge.expression(col("sb")))).as("k"))
+      .where(col("k").isNotNull).count()
+    assert(kNulls == 0L)
+  }
+
+  test("near-dup verify plan: jaccard is NOT a join-residual predicate") {
+    // the EvalOnce fence must keep the expensive jaccard CASE out of the
+    // verify join's condition (where it would be evaluated once per
+    // joined row and AGAIN in the projection) — a plan regression here
+    // silently doubles the verify stage's CPU at any scale
+    val plan = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .queryExecution.optimizedPlan
+    val joinsWithScore = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.exists {
+            case e: SortedLongIntersectCountExpr => true
+            case _ => false
+          }) => j
+    }
+    assert(joinsWithScore.isEmpty,
+      "jaccard kernel leaked into a join condition — EvalOnce fence broken")
+  }
 }
