@@ -138,8 +138,13 @@ object SparkEntry {
       .join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
       .withColumn("lev_score", Er.levSim(col("name_a"), col("name_b")))
       .withColumn("jaccard_score", Er.tokenJaccard(col("name_a"), col("name_b")))
-      .withColumn("score",
-        Er.compositeScore(col("name_a"), col("name_b"), SimilarityWeights.oracleSafe))
+      // EvalOnce fence: half the consumers filter on score (ccDF edges,
+      // q61 merges, q64 edges) — without the fence Catalyst substitutes
+      // the composite into the filter and pushes it into the dim joins
+      // as a residual predicate, running the lev+jaccard kernels twice
+      // per pair (the Dedup.verifyFromSets pathology). Values unchanged.
+      .withColumn("score", graft.util.EvalOnce(
+        Er.compositeScore(col("name_a"), col("name_b"), SimilarityWeights.oracleSafe)))
   }
 
   private val CcThreshold = 0.85
@@ -1006,8 +1011,10 @@ object SparkEntry {
         val a = nn.select(col("doc_id").as("doc_id_a"), col("n").as("name_a"))
         val b = nn.select(col("doc_id").as("doc_id_b"), col("n").as("name_b"))
         pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-          .withColumn("score",
-            Er.compositeScore(col("name_a"), col("name_b"), SimilarityWeights.oracleSafe))
+          // EvalOnce: keep the composite out of the join-residual (see
+          // scoredDF) — one kernel evaluation per pair, same edge set
+          .withColumn("score", graft.util.EvalOnce(
+            Er.compositeScore(col("name_a"), col("name_b"), SimilarityWeights.oracleSafe)))
           .where(col("score") >= CcThreshold)
           .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       }

@@ -303,9 +303,14 @@ object Ann {
       val l = keyed.select(col("block_key"), col("vid").as("id_a"), col("emb").as("emb_a"))
       val r = keyed.join(ok, Seq("block_key"))
         .select(col("block_key"), col("vid").as("id_b"), col("emb").as("emb_b"))
+      // EvalOnce fence (see Dedup.verifyFromSets): without it the cosine
+      // alias is substituted into the filter and pushed into the bucket
+      // join as a residual predicate, then recomputed in the projection —
+      // every in-bucket pair pays the kernel twice. Same rows, same
+      // values, one evaluation.
       l.join(r, Seq("block_key"))
         .where(col("id_a") < col("id_b"))
-        .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+        .withColumn("cosine", graft.util.EvalOnce(cosine(col("emb_a"), col("emb_b"))))
         .where(col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     } else {
@@ -327,7 +332,7 @@ object Ann {
     val l = it.select(col("vid").as("id_a"), col("emb").as("emb_a"))
     val r = it.select(col("vid").as("id_b"), col("emb").as("emb_b"))
     pairs.join(l, Seq("id_a")).join(r, Seq("id_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", graft.util.EvalOnce(cosine(col("emb_a"), col("emb_b"))))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     }
@@ -436,7 +441,7 @@ object Ann {
     val r = embs.select(col("doc_id").as("doc_id_b"), col("emb").as("emb_b"))
     val pairs = newNew.unionByName(newOld)
       .join(l, Seq("doc_id_a")).join(r, Seq("doc_id_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", graft.util.EvalOnce(cosine(col("emb_a"), col("emb_b"))))
       .where(col("cosine") >= threshold)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"), col("cosine"))
     CosineIncrement(pairs, batch)

@@ -39,7 +39,11 @@ object Curation {
              nearDupThreshold: Double = 0.7, maxBlockSize: Int = 10000): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // one pass for the per-doc signals; materialized because the table
-    // feeds both the eligibility filter and the final disposition join
+    // feeds both the eligibility filter and the final disposition join.
+    // (r06: a conditional repartition-to-cores before this projection was
+    // measured and reverted — the single-task signal stage is cold-JIT
+    // cost only; warm it clears sf0.1 in tens of ms, and the extra
+    // exchange cost more than it saved.)
     val sig = base.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.qualityScore(col("text")).as("quality"))

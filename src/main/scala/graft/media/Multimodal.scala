@@ -148,6 +148,12 @@ object Multimodal {
 
   def synthesizeMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
+    // NOTE (r06): a conditional parallelism floor (repartition when the
+    // scan has fewer splits than cores) was measured here and REVERTED:
+    // warm, the decode chain clears the sf0.1 corpus in tens of ms even
+    // single-task, so the extra exchange only cost (q59 1.06 s vs
+    // 0.89 s); at corpus scale the scan is naturally parallel. The
+    // single-task cold numbers that motivated it were JIT warm-up.
     docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .where(col("s.kind") =!= "text")
       .select(col("doc_id"), col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))

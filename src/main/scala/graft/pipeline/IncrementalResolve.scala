@@ -161,8 +161,14 @@ object IncrementalResolve {
         .select(col("doc_id").as("doc_id_a"), col("normalized").as("name_a"))
       val b = existingNames.unionByName(newNames)
         .select(col("doc_id").as("doc_id_b"), col("normalized").as("name_b"))
+      // EvalOnce fence: the threshold filter would otherwise be pushed
+      // into the name joins as a residual predicate with the composite
+      // kernels alias-substituted into it — scored once per joined row
+      // in the join, then AGAIN in the projection (the
+      // Dedup.verifyFromSets pathology). One evaluation, same edges.
       pairs.join(a, Seq("doc_id_a")).join(b, Seq("doc_id_b"))
-        .withColumn("score", Er.compositeScore(col("name_a"), col("name_b"), weights))
+        .withColumn("score", graft.util.EvalOnce(
+          Er.compositeScore(col("name_a"), col("name_b"), weights)))
         .where(col("score") >= threshold)
         .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
     }

@@ -42,6 +42,23 @@ final case class PipelineConfig(
       * data and never enter the quadratic pair space.
       */
     exactPregroup: Boolean = true,
+    /** Skew-safe variant of the exact pregroup's member->rep computation.
+      * The default (false) computes the rep with ONE window exchange —
+      * fastest shape measured at bench scale and under moderate skew —
+      * but a window cannot partial-aggregate: every row of one
+      * normalized-name group lands in ONE task, so a corpus with a
+      * dominant exact-duplicate name (the Zipfian case at crawl scale)
+      * gets an unbounded single-task straggler (measured:
+      * PregroupSkewProbe, 6M-copy hot name -> the whole stage is one
+      * 8.3 s task; the two-phase shape finishes 2.4x faster with its
+      * hot join AQE-skew-splittable). Set true for such corpora: reps
+      * come from a partial-aggregating groupBy (always skew-safe) and
+      * the member->rep map from a join back (AQE splits hot keys /
+      * broadcasts small rep dims). Output is identical — both compute
+      * min(doc_id) per (normalized, type, tenant) group — pinned by
+      * ResolvePipelineSpec's equality test.
+      */
+    exactPregroupSkewSafe: Boolean = false,
     /** AQE runtime broadcast threshold for the pipeline's joins
       * (spark.sql.adaptive.autoBroadcastJoinThreshold). The scoring
       * stage joins the pair table against the NAMES dim twice; when the
@@ -319,6 +336,16 @@ object ResolvePipeline {
     // computes the identical rep (min doc_id per group).
     val byGroup = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
+    // skew-safe member->rep map (exactPregroupSkewSafe): join members back
+    // to the rep dim on the group key. Null-SAFE equality on every group
+    // column — the window groups NULL keys together, and a non-null-safe
+    // join would silently drop every NULL-keyed member from the map.
+    def joinRepMap(members: DataFrame, reps: DataFrame): DataFrame = {
+      val repSide = reps.select(
+        groupCols.map(c => col(c).as(s"__g_$c")) :+ col("doc_id").as("rep"): _*)
+      val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+      members.join(repSide, cond).select(col("doc_id"), col("rep"))
+    }
     val (names, repMap) =
       if (cfg.exactPregroup) store match {
         case Some(_) =>
@@ -328,10 +355,31 @@ object ResolvePipeline {
                 typeCol.map(_ => col("__type")) ++
                 tenantCol.map(_ => col("__tenant"))): _*)
           }
-          val m = allNames
-            .withColumn("rep", min("doc_id").over(byGroup))
-            .select(col("doc_id"), col("rep"))
+          val m =
+            if (cfg.exactPregroupSkewSafe) joinRepMap(allNames, reps)
+            else allNames
+              .withColumn("rep", min("doc_id").over(byGroup))
+              .select(col("doc_id"), col("rep"))
           (reps, Some(m))
+        case None if cfg.exactPregroupSkewSafe => timed("repGroups.materialize") {
+          // two-phase shape (see exactPregroupSkewSafe scaladoc): reps
+          // from a PARTIAL-AGGREGATING groupBy — a dominant group
+          // contributes one partial row per map task, never one task's
+          // whole buffer — and the map from the AQE-splittable join
+          // back. Costs one extra materialization of the name dim vs
+          // the fused window (allNames feeds both phases), which is the
+          // deliberate trade for bounded task sizes on Zipfian
+          // duplicate distributions.
+          val an = allNames.persist()
+          an.count()
+          val repsMat = an.groupBy(groupCols.map(col): _*).agg(min("doc_id").as("doc_id"))
+            .select((Seq(col("doc_id"), col("normalized")) ++
+              typeCol.map(_ => col("__type")) ++
+              tenantCol.map(_ => col("__tenant"))): _*)
+            .orderBy("doc_id").localCheckpoint(true)
+          val m = joinRepMap(an, repsMat).persist()
+          (repsMat, Some(m))
+        }
         case None => timed("repGroups.materialize") {
           // FUSED pass: one window exchange yields BOTH pregroup surfaces —
           // the rep dim (rows whose doc_id IS the group min: exactly one
@@ -676,11 +724,16 @@ object ResolvePipeline {
       case Some(_) => stage("pair_scores", fpScores)(scoredPlan)
       case None => timed("pairScores.materialize") {
         if (fine) {
-          // raw (pre-distinct) pair volume: sum n*(n-1)/2 over kept blocks
+          // raw (pre-distinct) pair volume: sum n*(n-1)/2 over kept
+          // blocks. Salted-range blocks (maxBlockSize < n <= salted cap)
+          // also generate pairs but are excluded here — the label says
+          // so to keep the printed diagnostic truthful in salted configs
+          // (ADVICE r05).
           val kept = keys.groupBy("block_key").agg(count(lit(1)).as("n"))
             .where(col("n") <= cfg.maxBlockSize)
             .agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0)
-          System.err.println(s"[pipeline] fine.rawPairsUpperBound: ${kept.get(0)}")
+          System.err.println(
+            s"[pipeline] fine.rawPairsUpperBound (unsalted blocks only): ${kept.get(0)}")
           // D: candidate distinct + columnar cache of the 16-byte pairs
           timed("fine.pairs.distinct+cache") { pairs.persist(); pairs.count() }
           // J0: join skeleton only — count(1) prunes every kernel column,

@@ -150,6 +150,38 @@ class ResolvePipelineSpec extends AnyFunSuite {
       "pregrouped clusters must match the full computation exactly")
   }
 
+  test("skew-safe pregroup (two-phase rep map) is output-identical, incl. a dominant group") {
+    import spark.implicits._
+    // a corpus where ONE name dominates (the Zipfian case the skew-safe
+    // path exists for: the window shape would put every copy in one
+    // task) plus normal entities; both paths must produce identical
+    // cluster assignments
+    val hot = (0 until 300).map(i => (f"h$i%03d",
+      Seq(graft.model.Span("text", "the dominant company inc", "", 0))))
+    val base = truthDocs.select("doc_id", "spans")
+    val docs = base.unionByName(hot.toDF("doc_id", "spans"))
+    val window = ResolvePipeline.run(spark, docs, PipelineConfig())
+      .clusters.select("doc_id", "cluster_id")
+    val twoPhase = ResolvePipeline.run(spark, docs,
+      PipelineConfig(exactPregroupSkewSafe = true))
+      .clusters.select("doc_id", "cluster_id")
+    assert(window.exceptAll(twoPhase).isEmpty && twoPhase.exceptAll(window).isEmpty,
+      "skew-safe rep map must match the window rep map exactly")
+    // and with type/tenant scoping (exercises the null-safe multi-column
+    // group join)
+    val scoped = docs.withColumn("tenant",
+      when(col("doc_id").cast("string").startsWith("h"), lit(null: String))
+        .otherwise(concat(lit("t"), pmod(xxhash64(col("doc_id")), lit(2)))))
+    val w2 = ResolvePipeline.run(spark, scoped,
+      PipelineConfig(tenantColumn = Some("tenant")))
+      .clusters.select("doc_id", "cluster_id")
+    val t2 = ResolvePipeline.run(spark, scoped,
+      PipelineConfig(tenantColumn = Some("tenant"), exactPregroupSkewSafe = true))
+      .clusters.select("doc_id", "cluster_id")
+    assert(w2.exceptAll(t2).isEmpty && t2.exceptAll(w2).isEmpty,
+      "skew-safe rep map must match under tenant scoping with NULL tenants")
+  }
+
   test("D7: review-override edges force a merge the scorer would not") {
     import spark.implicits._
     val docs = Seq(
