@@ -54,6 +54,20 @@ final class StageStore(root: String, spark: SparkSession) {
     }
   }
 
+  /** Row count of a committed stage, from its manifest (written at
+    * commit time from the snapshot's own partition stats) — callers that
+    * need the cardinality of a just-materialized stage read it here
+    * instead of paying a count job over the snapshot.
+    */
+  def committedRows(name: String): Option[Long] = {
+    val mp = manifestPath(name)
+    if (!Files.exists(mp)) None
+    else {
+      val text = new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)
+      """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    }
+  }
+
   /** Materialize a stage: if a committed snapshot with the same
     * fingerprint exists, read it (resume path, no recompute); otherwise
     * compute, snapshot atomically, commit the manifest, and read back.

@@ -241,8 +241,12 @@ object ResolvePipeline {
     val fpNormalized = fp(inputFp, cfg.entityType.toString, cfg.statusColumn.toString)
     val fpGroups = fp(fpNormalized, cfg.exactPregroup.toString,
       cfg.typeColumn.toString, cfg.tenantColumn.toString)
+    // "dids-v1": since r06 the blocking-key and candidate-pair snapshots
+    // are keyed by integer surrogates (see the surrogate_ids stage) —
+    // the token invalidates pre-change STRING-keyed snapshots so a
+    // resume recomputes them instead of misreading the old schema
     val fpKeys = fp(fpGroups, cfg.useDefaultKeys.toString,
-      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString)
+      cfg.useSortedNeighborhoodKeys.toString, cfg.useMinHashLsh.toString, "dids-v1")
     val fpPairs = fp(fpKeys, cfg.maxBlockSize.toString, cfg.saltedMaxBlockSize.toString)
     val fpScores = fp(fpPairs, cfg.weights.toString, cfg.thresholds.toString,
       cfg.orphanFallback.toString, cfg.orphanFallbackCap.toString)
@@ -404,7 +408,7 @@ object ResolvePipeline {
         }
       } else (allNames, None)
 
-    // ---- integer surrogate join ids (non-checkpoint mode). The
+    // ---- integer surrogate join ids (BOTH modes since r06). The
     // candidate distinct and the two scoring-dim probes are the
     // pipeline's memory-system hot spots: on string doc_ids every one of
     // the ~n_pairs HashAggregate / HashedRelation operations hashes and
@@ -416,14 +420,23 @@ object ResolvePipeline {
     // hash relations for the name dims. The surrogate is minted with
     // monotonically_increasing_id over the FROZEN rep table (non-store
     // mode always localCheckpoints it, so every consumer scan derives
-    // identical ids within the run); ids never reach an output or a
-    // persisted stage — scoring re-canonicalizes to string doc_ids
-    // (least/greatest is safe: all three kernels are symmetric), and
-    // checkpointed runs keep the string path end to end because a
-    // StageStore snapshot must stay self-describing across runs/resumes.
+    // identical ids within the run); ids never reach an OUTPUT — scoring
+    // re-canonicalizes to string doc_ids (least/greatest is safe: all
+    // three kernels are symmetric).
+    //
+    // CHECKPOINTED runs (verdict r05 item 4): previously string-keyed end
+    // to end — production ResolveJob paid exactly the memory-system costs
+    // the surrogates remove. Now the (doc_id, __did) mapping is itself a
+    // persisted STAGE ("surrogate_ids"): minted once over the frozen
+    // name dim, then written through the StageStore — so a resumed run
+    // READS the committed ids rather than re-minting (scan-split or
+    // core-count changes between runs can never re-key a persisted pair
+    // snapshot), and the blocking-key / candidate-pair snapshots carry
+    // dids with fingerprints version-bumped ("dids-v1") so pre-change
+    // string snapshots recompute instead of being misread.
     // Output equality of the two paths is pinned by ResolveJobSpec's
     // checkpointed == direct test and the q04/q05/q29/q60 oracles.
-    val useDids = store.isEmpty
+    val useDids = true
     // Surrogates are minted DENSE (0..n-1) in doc_id order — the name dim
     // is FROZEN range-sorted (see the orderBy at its localCheckpoint);
     // partition sizes of that frozen layout are read with one tiny
@@ -450,29 +463,43 @@ object ResolvePipeline {
     //    (pk = a << 31 | b), halving what the candidate distinct hashes,
     //    exchanges and sorts — see CandidateGenerator.candidatePairsPacked.
     //    Corpora beyond 2^31 entities fall back to the two-column path.
-    val (namesKeyed, nReps) =
-      if (useDids) {
-        val counts = names.groupBy(spark_partition_id().as("__p"))
-          .agg(count(lit(1)).as("__n")).collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        // dense offset per partition id, looked up O(1) via an array
-        // literal — the previous nested when/otherwise chain was
-        // O(#partitions) deep, evaluated per row, and codegen-bloat
-        // territory at production partition counts (ADVICE r05). Missing
-        // partition ids (empty partitions are absent from the grouped
-        // count) hold offset 0; they contribute no rows, so the value is
-        // never read.
-        val offArr = Array.fill(counts.map(_._1).maxOption.getOrElse(-1) + 1)(0L)
-        counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
-          .foreach { case (p, off) => offArr(p) = off }
-        val offsetExpr =
-          if (counts.isEmpty) lit(0L)
-          else element_at(typedlit(offArr.toSeq), spark_partition_id() + 1)
-        (names.withColumn("__did", offsetExpr +
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
-          counts.map(_._2).sum)
-      } else (names, -1L)
-    val joinId = if (useDids) "__did" else "doc_id"
+    def mintDids(src: DataFrame): (DataFrame, Long) = {
+      val counts = src.groupBy(spark_partition_id().as("__p"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // dense offset per partition id, looked up O(1) via an array
+      // literal — the previous nested when/otherwise chain was
+      // O(#partitions) deep, evaluated per row, and codegen-bloat
+      // territory at production partition counts (ADVICE r05). Missing
+      // partition ids (empty partitions are absent from the grouped
+      // count) hold offset 0; they contribute no rows, so the value is
+      // never read.
+      val offArr = Array.fill(counts.map(_._1).maxOption.getOrElse(-1) + 1)(0L)
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+        .foreach { case (p, off) => offArr(p) = off }
+      val offsetExpr =
+        if (counts.isEmpty) lit(0L)
+        else element_at(typedlit(offArr.toSeq), spark_partition_id() + 1)
+      (src.withColumn("__did", offsetExpr +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))),
+        counts.map(_._2).sum)
+    }
+    val (namesKeyed, nReps) = store match {
+      case Some(st) =>
+        // the mapping is itself a stage: on a miss, freeze the name dim
+        // doc_id-ordered (locality, see above) and mint over it — task
+        // retries during the snapshot write re-scan the checkpointed
+        // source, so the written ids are deterministic; on a resume the
+        // committed snapshot is read back and minting never re-runs.
+        // nReps comes from the commit manifest (no extra count job).
+        val fpDids = fp(fpGroups, "surrogate-ids-v1")
+        val nk = st.materialize("surrogate_ids", fpDids) {
+          mintDids(names.orderBy("doc_id").localCheckpoint(true))._1
+        }
+        (nk, st.committedRows("surrogate_ids").getOrElse(nk.count()))
+      case None => mintDids(names)
+    }
+    val joinId = "__did"
     // pk packing needs every id < 2^31; the orphan fallback composes on
     // the two-column shape, so it keeps the unpacked path
     val packed = useDids && nReps < (1L << 31) && !cfg.orphanFallback
@@ -565,7 +592,11 @@ object ResolvePipeline {
     // ---- candidate pairs (B3) with block-size cap + AQE skew handling
     val candStats = () => timed("stats")(
       CandidateGenerator.stats(keys, cfg.maxBlockSize, cfg.saltedMaxBlockSize))
-    val blockedPairsPlan = stage("candidate_pairs", fpPairs) {
+    // the packed flag is part of the pair snapshot's identity: packed
+    // snapshots hold one pk long, unpacked two id columns — a resume
+    // whose packedness changed (corpus crossed 2^31 reps, or the orphan
+    // fallback was toggled upstream of fpScores) must recompute
+    val blockedPairsPlan = stage("candidate_pairs", fp(fpPairs, s"packed=$packed")) {
       if (packed)
         CandidateGenerator.candidatePairsPacked(keys, cfg.maxBlockSize,
           cfg.saltedMaxBlockSize, hintBroadcast = hintBroadcastPairs)

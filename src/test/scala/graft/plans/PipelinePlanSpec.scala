@@ -86,6 +86,28 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(!plan.contains("keys=[doc_id_a"), plan)
   }
 
+  test("checkpointed run persists surrogate ids and a PACKED pair snapshot") {
+    // verdict r05 item 4: production (StageStore) runs must ride the
+    // same packed-surrogate path as direct runs — the surrogate map is a
+    // committed stage (resumes read ids, never re-mint) and the
+    // candidate_pairs snapshot holds the single packed long
+    val root = java.nio.file.Files.createTempDirectory("plan-ckpt").toString
+    val docs = graft.gen.DocGen.corpusDF(spark, 20, 3).select("doc_id", "spans")
+    val r = graft.pipeline.ResolvePipeline.run(spark, docs,
+      graft.pipeline.PipelineConfig(checkpointRoot = Some(root)))
+    r.assignments.count()
+    val ids = spark.read.parquet(s"$root/surrogate_ids/data")
+    assert(ids.columns.contains("__did") && ids.columns.contains("doc_id"))
+    val pairs = spark.read.parquet(s"$root/candidate_pairs/data")
+    assert(pairs.columns.toSeq == Seq("pk"),
+      s"checkpointed pair snapshot must be packed, got ${pairs.columns.toSeq}")
+    // dense 0..n-1 surrogates, order-isomorphic to doc_id order
+    import spark.implicits._
+    val minted = ids.select("doc_id", "__did").as[(String, Long)].collect().sortBy(_._1)
+    assert(minted.map(_._2).toSeq == minted.indices.map(_.toLong),
+      "surrogates must be dense and doc_id-ordered")
+  }
+
   test("orphan fallback: capped sample side is broadcast") {
     import org.apache.spark.sql.functions._
     val docs = graft.gen.DocGen.corpusDF(spark, 10, 2).select("doc_id", "spans")
