@@ -44,10 +44,14 @@ object Revert {
     // components containing a reverted endpoint
     val endpoints = rev.select(col("src").as("doc_id"))
       .union(rev.select(col("dst").as("doc_id"))).distinct()
+    // both frames are consumed twice (touched: member expansion + the
+    // final anti-join; touchedDocs: subgraph semi-join + CC vertices) and
+    // are O(touched components) small by construction — materialize so
+    // the clusters/edges semi-join subtrees run once, not per consumer
     val touched = clusters.join(endpoints, Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct()
+      .select("cluster_id").distinct().localCheckpoint(true)
     val touchedDocs = clusters.join(touched, Seq("cluster_id"), "left_semi")
-      .select("doc_id")
+      .select("doc_id").localCheckpoint(true)
     val kept = edges.select(col("src"), col("dst"))
       .join(rev, Seq("src", "dst"), "left_anti")
     // an edge of a touched component has BOTH endpoints inside it
